@@ -1,0 +1,172 @@
+"""Masked depth losses (Eigen / Laina / berHu / Huber / SILog families).
+
+Parity targets in the reference's criteria.py:
+  MaskedDepthLoss :17-64, MaskedMSELoss :67-77, MaskedL1Loss :80-90,
+  berHuLoss :111-133, LainaBerHuLoss :476-506, HuberLoss :509-527,
+  silog_loss :724-732, normals_loss :93-108.
+
+All boolean-indexing reductions of the reference are rewritten as
+mask-weighted sums so shapes stay static under jit (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten_per_image(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
+def _msum(values, mask):
+    return (values * mask).sum()
+
+
+def masked_mean(values: jax.Array, mask: jax.Array, eps: float = 0.0) -> jax.Array:
+    mask = mask.astype(values.dtype)
+    return (values * mask).sum() / jnp.maximum(mask.sum(), 1.0 if eps == 0.0 else eps)
+
+
+def masked_depth_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Eigen scale-invariant L2 + gradient matching (criteria.py:17-64).
+
+    pred/target: (B, H, W, C) (C usually 1). Mask is target > 0.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mask = (target > 0).astype(jnp.float32)
+
+    p = _flatten_per_image(pred * mask)
+    t = _flatten_per_image(target * mask)
+    m = _flatten_per_image(mask)
+    d = p - t
+
+    nvalid = m.sum(axis=1)
+    depth_error = (
+        (nvalid * jnp.square(d).sum(axis=1)).sum() - 0.5 * jnp.square(d.sum(axis=1)).sum()
+    ) / jnp.maximum(jnp.square(nvalid).sum(), 1.0)
+
+    # gradient term on the first channel (reference drops to (B,H,W) :44-49)
+    p2, t2, m2 = pred[..., 0], target[..., 0], mask[..., 0]
+    p_di = p2[:, 1:, :] - p2[:, :-1, :]
+    t_di = t2[:, 1:, :] - t2[:, :-1, :]
+    m_di = m2[:, 1:, :] * m2[:, :-1, :]
+    p_dj = p2[:, :, 1:] - p2[:, :, :-1]
+    t_dj = t2[:, :, 1:] - t2[:, :, :-1]
+    m_dj = m2[:, :, 1:] * m2[:, :, :-1]
+
+    grad_cost = _msum(jnp.square(p_di - t_di), m_di) / jnp.maximum(m_di.sum(), 1.0)
+    grad_cost += _msum(jnp.square(p_dj - t_dj), m_dj) / jnp.maximum(m_dj.sum(), 1.0)
+    return depth_error + grad_cost
+
+
+def masked_mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """criteria.py:67-77 — MSE over target>0 pixels."""
+    mask = target > 0
+    return masked_mean(jnp.square(target - pred), mask)
+
+
+def masked_l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """criteria.py:80-90 — L1 over target>0 pixels."""
+    mask = target > 0
+    return masked_mean(jnp.abs(target - pred), mask)
+
+
+def berhu_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Reverse-Huber (criteria.py:111-133).
+
+    c = 0.2 * max(pred - target) over ALL pixels (reference quirk: unmasked
+    max, and not an absolute difference). The reference concatenates
+    |diff| over valid pixels with diff^2 over the c-exceeding subset and
+    takes one mean; equivalent mask-weighted form below.
+    """
+    c = 0.2 * jnp.max(pred - target)
+    mask = (target > 0).astype(jnp.float32)
+    diff = jnp.abs(target - pred)
+    huber = (diff > c).astype(jnp.float32) * mask
+    total = _msum(diff, mask) + _msum(jnp.square(diff), huber)
+    count = mask.sum() + huber.sum()
+    return total / jnp.maximum(count, 1.0)
+
+
+def laina_berhu_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array | None = None,
+    use_log: bool = True,
+    clamp_val: float = 1e-9,
+) -> jax.Array:
+    """Log-space berHu (criteria.py:476-506)."""
+    if mask is None:
+        mask = target > 0
+    mask = mask.astype(jnp.float32)
+    if use_log:
+        n = jnp.log(jnp.maximum(pred, clamp_val)) - jnp.log(jnp.maximum(target, clamp_val))
+    else:
+        n = pred - target
+    n = jnp.abs(n) * mask
+    c = 0.2 * n.max()
+    loss = jnp.where(n < c, n, (jnp.square(n) + c * c) / (2.0 * c + 1e-9))
+    return loss.sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def huber_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array | None = None,
+    sigma: float = 1.0,
+) -> jax.Array:
+    """criteria.py:509-527 (size-averaged)."""
+    n = jnp.abs(pred - target)
+    if mask is not None:
+        mask = mask.astype(n.dtype)
+        n = n * mask
+    cond = n < 1.0 / (sigma**2)
+    loss = jnp.where(cond, 0.5 * jnp.square(sigma * n), n - 0.5 / (sigma**2))
+    if mask is not None:
+        return loss.sum() / jnp.maximum(mask.sum(), 1.0)
+    return loss.mean()
+
+
+def silog_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    variance_focus: float = 0.85,
+    mask: jax.Array | None = None,
+    eps: float = 1e-2,
+) -> jax.Array:
+    """Scale-invariant log loss (criteria.py:724-732), x10 scaling included.
+
+    Reference masks gt > 1e-2 internally; an extra caller mask (the stdepth
+    depth-channel validity) can be AND-ed in. NaN outputs (empty mask /
+    negative variance) are flushed to 0 like the reference's nan_to_num
+    wrapper (modules/base_module.py:126-127).
+    """
+    valid = target > eps
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+    valid = valid.astype(jnp.float32)
+    safe_p = jnp.where(valid > 0, jnp.maximum(pred, 1e-12), 1.0)
+    safe_t = jnp.where(valid > 0, target, 1.0)
+    d = (jnp.log(safe_p) - jnp.log(safe_t)) * valid
+    n = jnp.maximum(valid.sum(), 1.0)
+    mean_sq = jnp.square(d).sum() / n
+    mean = d.sum() / n
+    var_term = mean_sq - variance_focus * jnp.square(mean)
+    out = jnp.sqrt(jnp.maximum(var_term, 0.0)) * 10.0
+    return jnp.nan_to_num(out)
+
+
+def normals_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """Cosine normals loss (criteria.py:93-108; duplicated at :530-545)."""
+    prod = pred * target
+    if mask is not None:
+        mask = mask.astype(prod.dtype)
+        n = mask.sum()
+        prod = prod * mask
+    else:
+        n = jnp.asarray(prod.size, prod.dtype)
+    return jnp.maximum(1.0 - prod.sum() / jnp.maximum(n, 1.0), 0.0)

@@ -1,0 +1,119 @@
+"""Resize / crop primitives with explicit filter semantics.
+
+The reference mixes three resize flavors the rebuild must reproduce closely
+(SURVEY.md §7 "hard parts" #4):
+
+* PIL ``transforms.Resize`` — bilinear with antialias, shorter-side sizing
+  (eval transforms, e.g. modules/base_module.py:267-281).
+* ``torch.nn.functional.interpolate`` — bilinear without antialias,
+  align_corners False (default) or True (DORN, network/Dorn.py:120-127).
+* nearest-neighbor up/down scaling (BTS LPG rescales, network/Bts.py:232,246).
+
+All functions take NHWC (or HWC) arrays and are jit-safe for static sizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _ensure_batched(x):
+    if x.ndim == 3:
+        return x[None], True
+    return x, False
+
+
+def resize_bilinear(
+    x: jax.Array,
+    size: tuple[int, int],
+    antialias: bool = False,
+    align_corners: bool = False,
+) -> jax.Array:
+    """Bilinear resize of (..., H, W, C) to (..., size[0], size[1], C)."""
+    x, squeeze = _ensure_batched(x)
+    h, w = size
+    if align_corners:
+        out = _resize_align_corners(x, (h, w))
+    else:
+        out = jax.image.resize(
+            x,
+            (*x.shape[:-3], h, w, x.shape[-1]),
+            method="linear",
+            antialias=antialias,
+        )
+    return out[0] if squeeze else out
+
+
+def _resize_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """torch F.interpolate(..., align_corners=True) semantics via gather."""
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    out_h, out_w = size
+
+    def coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        scale = (n_in - 1) / (n_out - 1)
+        return jnp.arange(n_out, dtype=jnp.float32) * scale
+
+    yy = coords(in_h, out_h)
+    xx = coords(in_w, out_w)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, in_h - 1)
+    y1 = jnp.clip(y0 + 1, 0, in_h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, in_w - 1)
+    x1 = jnp.clip(x0 + 1, 0, in_w - 1)
+    wy = (yy - y0.astype(jnp.float32))[:, None, None]
+    wx = (xx - x0.astype(jnp.float32))[None, :, None]
+
+    rows0 = jnp.take(x, y0, axis=-3)
+    rows1 = jnp.take(x, y1, axis=-3)
+    p00 = jnp.take(rows0, x0, axis=-2)
+    p01 = jnp.take(rows0, x1, axis=-2)
+    p10 = jnp.take(rows1, x0, axis=-2)
+    p11 = jnp.take(rows1, x1, axis=-2)
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor resize with torch 'nearest' index math (floor)."""
+    x, squeeze = _ensure_batched(x)
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    out_h, out_w = size
+    ys = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
+    out = jnp.take(jnp.take(x, ys, axis=-3), xs, axis=-2)
+    return out[0] if squeeze else out
+
+
+def center_crop(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Center crop of (..., H, W, C); pads with zeros if smaller (PIL parity)."""
+    h, w = x.shape[-3], x.shape[-2]
+    th, tw = size
+    pad_h, pad_w = max(th - h, 0), max(tw - w, 0)
+    if pad_h or pad_w:
+        cfg = [(0, 0)] * (x.ndim - 3)
+        cfg += [
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+            (0, 0),
+        ]
+        x = jnp.pad(x, cfg)
+        h, w = x.shape[-3], x.shape[-2]
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
+    return x[..., top : top + th, left : left + tw, :]
+
+
+def shorter_side_size(h: int, w: int, size: int) -> tuple[int, int]:
+    """PIL transforms.Resize(int) target shape: shorter side -> size."""
+    if h <= w:
+        return size, max(1, int(round(w * size / h)))
+    return max(1, int(round(h * size / w))), size
+
+
+def resize_shorter_side(x: jax.Array, size: int, antialias: bool = True) -> jax.Array:
+    """PIL-style shorter-side resize with antialiased bilinear filtering."""
+    h, w = x.shape[-3], x.shape[-2]
+    return resize_bilinear(x, shorter_side_size(h, w, size), antialias=antialias)
