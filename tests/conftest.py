@@ -7,15 +7,20 @@ execute exactly as they would across a real TPU slice.
 
 import os
 
-# The sandbox presets JAX_PLATFORMS=axon (the tunneled TPU); tests must run
-# on the fake multi-device CPU backend, so force-override. Set
-# MDE_TEST_PLATFORM=axon to deliberately run the suite on the real chip.
-os.environ["JAX_PLATFORMS"] = os.environ.get("MDE_TEST_PLATFORM", "cpu")
+# The sandbox presets JAX_PLATFORMS=axon (the tunneled TPU) AND pre-imports
+# jax via PYTHONPATH=/root/.axon_site, so the env var is already consumed —
+# only jax.config.update can override the platform. XLA_FLAGS is still read
+# lazily at backend init, so setting it here works. Set MDE_TEST_PLATFORM=axon
+# to deliberately run the suite on the real chip.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("MDE_TEST_PLATFORM", "cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
