@@ -1,0 +1,151 @@
+"""Shared CLI plumbing: the chained-subcommand argv grammar.
+
+Verbatim-compatible with the reference parser (train.py:11-54): argv is
+split at known command names; dataset commands are tagged into
+training/validation/test role lists via their --training/--validation/--test
+flags; the method command lands in args.method. Derived globals ds_name and
+depth_method follow train.py:84-85.
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser, Namespace
+
+from mono_depth_estimation_tpu.data import NAME2FUNC
+from mono_depth_estimation_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+from mono_depth_estimation_tpu.methods import METHODS, register_module_specific_arguments
+
+DATASET_COMMANDS = list(NAME2FUNC)
+METHOD_COMMANDS = list(METHODS)
+
+
+def register_dataset_specific_arguments(subparsers):
+    from mono_depth_estimation_tpu.data import (
+        Floorplan3DDataset,
+        NYUDataset,
+        SemiTransparentDepthDataset,
+        SemiTransparentMulti2DepthDataset,
+        SemiTransparentMultiDepthDataset,
+        Structured3DDataset,
+        SyntheticDepthDataset,
+    )
+
+    for ds in (
+        NYUDataset,
+        Floorplan3DDataset,
+        Structured3DDataset,
+        SemiTransparentDepthDataset,
+        SemiTransparentMultiDepthDataset,
+        SemiTransparentMulti2DepthDataset,
+        SyntheticDepthDataset,
+    ):
+        ds.add_dataset_specific_args(subparsers)
+
+
+def build_parser(description: str) -> tuple[ArgumentParser, object]:
+    parser = ArgumentParser(description, formatter_class=ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--seed", default=None, type=int, help="Random Seed")
+    parser.add_argument("--name", default=None, help="Name of the run")
+    parser.add_argument(
+        "--precision", default=16, type=int,
+        help="16 = bf16 compute (TPU-native mixed precision), 32 = float32",
+    )
+    parser.add_argument(
+        "--gpus", type=int, default=1,
+        help="Accelerator count (reference flag name; maps to mesh width; "
+        "0 = CPU)",
+    )
+    parser.add_argument("--dev", action="store_true", help="Fast dev run")
+    parser.add_argument("--overfit", action="store_true", help="Overfit 1 batch")
+    parser.add_argument("--min_epochs", default=5, type=int)
+    parser.add_argument("--max_epochs", default=25, type=int)
+    parser.add_argument("--max-train-batches", default=1.0, type=float)
+    parser.add_argument(
+        "--metrics",
+        default=["delta1", "delta2", "delta3", "mse", "mae", "log10", "rmse", "ssim"],
+        nargs="+",
+    )
+    parser.add_argument("--worker", default=8, type=int)
+    parser.add_argument("--find_learning_rate", action="store_true")
+    parser.add_argument(
+        "--detect_anomaly", action="store_true",
+        help="Enables jax_debug_nans (the XLA analogue of torch anomaly "
+        "detection)",
+    )
+    commands = parser.add_subparsers(title="Commands")
+    register_dataset_specific_arguments(commands)
+    register_module_specific_arguments(commands)
+    return parser, commands
+
+
+def parse_args_into_namespaces(parser, commands, argv=None):
+    """Splits argv at command names into per-command namespaces
+    (reference train.py:11-54)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    split_argv = [[]]
+    for c in argv:
+        if c in commands.choices:
+            split_argv.append([c])
+        else:
+            split_argv[-1].append(c)
+
+    args = Namespace()
+    args_parsed = parser.parse_args(split_argv.pop(0))
+    setattr(args, "globals", args_parsed)
+
+    train_datasets, val_datasets, test_datasets = [], [], []
+    while len(split_argv):
+        cmd, *args_raw = split_argv.pop(0)
+        assert cmd[0].isalpha(), "Command must start with a letter."
+        args_parsed = commands.choices[cmd].parse_args(args_raw, namespace=Namespace())
+        if cmd in DATASET_COMMANDS:
+            if args_parsed.training:
+                train_datasets.append((cmd, args_parsed))
+            if args_parsed.validation:
+                val_datasets.append((cmd, args_parsed))
+            if args_parsed.test:
+                test_datasets.append((cmd, args_parsed))
+        else:
+            setattr(
+                args, "method" if cmd in METHOD_COMMANDS else cmd, args_parsed
+            )
+    setattr(args, "training", train_datasets)
+    setattr(args, "validation", val_datasets)
+    setattr(args, "test", test_datasets)
+    assert hasattr(args, "method"), (
+        "Please provide the method you want to use: "
+        + ", ".join(METHOD_COMMANDS)
+    )
+    return args
+
+
+def derive_globals(args):
+    """args.ds_name / args.depth_method (reference train.py:84-85)."""
+    source = args.validation or args.test or args.training
+    if source:
+        ns = source[0][1]
+        args.ds_name = getattr(ns, "path", "").split("/")[-1]
+        args.depth_method = getattr(ns, "depth_method", None)
+    else:
+        args.ds_name, args.depth_method = "", None
+    # expose on globals so methods can reach them
+    args.globals.ds_name = args.ds_name
+    args.globals.depth_method = args.depth_method
+    args.globals.metrics = list(args.globals.metrics)
+    return args
+
+
+def seed_everything(seed: int | None) -> int:
+    import random
+
+    import numpy as np
+
+    if seed is None:
+        seed = random.randrange(4294967295)
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
+    return seed

@@ -1,0 +1,134 @@
+"""train CLI (parity: /root/reference/train.py:56-172).
+
+Keeps the reference behaviors: VALIDATE-prefixed run names trigger a
+validation pass before fit (train.py:78-82,168-169), checkpoint auto-resume
+by scanning the run's checkpoint dir (train.py:117-121), early stopping on
+val_loss with patience 5 (train.py:124-128), val_check_interval=0.2 and
+min/max epochs (train.py:132-145), seed management (train.py:96-98), and
+hyperparameter logging. The LR finder performs a short exponential sweep
+(the Lightning tuner equivalent, train.py:160-166).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from mono_depth_estimation_tpu.cli.common import (
+    build_parser,
+    derive_globals,
+    parse_args_into_namespaces,
+    seed_everything,
+)
+from mono_depth_estimation_tpu.methods import get_method
+from mono_depth_estimation_tpu.parallel.mesh import make_mesh
+from mono_depth_estimation_tpu.train.loop import Trainer
+
+
+def lr_find(trainer, train_ds, val_ds, num_steps: int = 40):
+    """Exponential LR sweep; returns the lr with the steepest loss descent."""
+    import numpy as np
+
+    from mono_depth_estimation_tpu.parallel.mesh import shard_batch
+    from mono_depth_estimation_tpu.train.optim import set_learning_rate
+
+    train_loader, _, _ = trainer._loaders(train_ds, val_ds, None)
+    batch, _ = next(iter(train_loader))
+    trainer.setup(batch)
+    lrs = np.logspace(-7, -1, num_steps)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    dbatch = shard_batch(batch, trainer.mesh)
+    for lr in lrs:
+        trainer.state = trainer.state.replace(
+            opt_state=set_learning_rate(trainer.state.opt_state, float(lr))
+        )
+        rng, sr = jax.random.split(rng)
+        trainer.state, loss, *_ = trainer._train_step(trainer.state, dbatch, sr)
+        losses.append(float(loss))
+        if not np.isfinite(losses[-1]):
+            break
+    losses = np.asarray(losses)
+    grad = np.gradient(np.minimum.accumulate(losses))
+    return float(lrs[int(np.argmin(grad[: len(losses)]))])
+
+
+def main(argv=None):
+    parser, commands = build_parser("Trains mono depth estimation models")
+    args = parse_args_into_namespaces(parser, commands, argv)
+
+    name = args.globals.name or "run"
+    validate_only_prefix = name.startswith("VALIDATE")
+    if not validate_only_prefix:
+        assert args.training and args.validation, (
+            "Please provide data training AND validation dataset"
+        )
+    derive_globals(args)
+
+    if args.globals.detect_anomaly:
+        print("Enabling nan debugging")
+        jax.config.update("jax_debug_nans", True)
+
+    args.globals.seed = seed_everything(args.globals.seed)
+
+    ckpt_name = name.replace("VALIDATE", "") if validate_only_prefix else name
+    n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
+    mesh = make_mesh(n_data=min(n_dev, len(jax.devices())))
+
+    method = get_method(args)
+    trainer = Trainer(
+        method,
+        metrics=args.globals.metrics,
+        max_epochs=args.globals.max_epochs,
+        min_epochs=args.globals.min_epochs,
+        val_check_interval=0.2,
+        limit_train_batches=getattr(args.globals, "max_train_batches", 1.0),
+        fast_dev_run=args.globals.dev,
+        overfit_batches=1 if args.globals.overfit else 0,
+        precision=args.globals.precision,
+        seed=args.globals.seed,
+        run_name=ckpt_name,
+        worker=args.globals.worker,
+        mesh=mesh,
+    )
+    trainer.logger.log_hparams(
+        {
+            "globals": vars(args.globals),
+            "method": vars(args.method),
+            "random_seed": args.globals.seed,
+            "devices": [str(d) for d in jax.devices()],
+        }
+    )
+
+    train_ds, val_ds, test_ds = method.build_datasets(
+        args.training, args.validation, args.test
+    )
+
+    if args.globals.find_learning_rate:
+        suggested = lr_find(trainer, train_ds, val_ds)
+        print("Old learning rate: ", args.method.learning_rate)
+        args.method.learning_rate = suggested
+        print("Suggested learning rate: ", args.method.learning_rate)
+        return args
+
+    if validate_only_prefix:
+        train_loader, val_loader, _ = trainer._loaders(train_ds, val_ds, None)
+        sample, _ = next(iter(val_loader))
+        from mono_depth_estimation_tpu.train.checkpoint import scan_best
+
+        best = scan_best(trainer.ckpt.run_dir)
+        trainer.setup(sample, restore_ckpt=best[0] if best else None)
+        metrics = trainer.validate(val_loader)
+        for k, v in sorted(metrics.items()):
+            print(k, round(v, 3))
+
+    trainer.fit(train_ds, val_ds, test_ds)
+    if args.test:
+        _, _, test_loader = trainer._loaders(None, None, test_ds)
+        results = trainer.test(test_loader)
+        for k, v in sorted(results.items()):
+            print(f"{k}_epoch", round(v, 3))
+    return args
+
+
+if __name__ == "__main__":
+    main()

@@ -98,8 +98,8 @@ class Loader:
             for b in range(n_batches):
                 idx = order[b * bs : (b + 1) * bs]
                 valid = len(idx)
-                if valid < bs:  # pad with wrap-around repeats
-                    idx = np.concatenate([idx, order[: bs - valid]])
+                if valid < bs:  # pad with cyclic repeats of the epoch order
+                    idx = np.concatenate([idx, np.resize(order, bs - valid)])
                 if pool is not None:
                     samples = list(pool.map(self._sample, idx))
                 else:

@@ -1,0 +1,159 @@
+"""Method abstraction — the framework's equivalent of the reference's
+LightningModule layer (modules/base_module.py).
+
+A Method bundles, per depth-estimation method:
+  * the Flax model and its init
+  * a pure, jit-safe ``train_loss(variables, batch, rng)``
+  * pure ``val_outputs`` / ``test_outputs`` producing (pred, target[, group
+    prefix]) pairs for on-device metric computation (the reference logs the
+    same groups, e.g. BTS front_/back_/comp_/depth_/fh_depth_,
+    modules/bts.py:110-124)
+  * the optax optimizer with reference param-group multipliers
+  * dataset plumbing: output_size/resize + the preprocess policy
+  * the plateau monitor (all reference methods: 'val_delta1', mode max)
+
+Unlike the reference, step functions are pure and batched — the training
+loop jits them once and feeds mesh-sharded batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mono_depth_estimation_tpu.data import NAME2FUNC
+from mono_depth_estimation_tpu.data.base import ConcatDataset
+from mono_depth_estimation_tpu.data.policies import POLICIES
+
+
+class Method:
+    NAME = "base"
+    POLICY = "default"
+
+    def __init__(self, globals_ns, method_ns):
+        self.globals = globals_ns
+        self.method = method_ns
+
+    # ---------------------------------------------------------- data
+    def output_size(self) -> tuple[int, int]:
+        raise NotImplementedError()
+
+    def resize(self) -> int:
+        raise NotImplementedError()
+
+    def policy_fns(self):
+        """(train, val, test) per-sample transforms bound to this method's
+        geometry. Each takes (rgb, depth, rng)."""
+        train_p, val_p, test_p = POLICIES[self.POLICY]
+        out, rs = self.output_size(), self.resize()
+
+        def bind(fn):
+            def bound(rgb, depth, rng):
+                return fn(rgb, depth, resize=rs, output_size=out, rng=rng)
+
+            return bound
+
+        return bind(train_p), bind(val_p), bind(test_p)
+
+    def build_datasets(self, training, validation, test):
+        """Constructs datasets for each role list [(name, args_ns), ...];
+        parity with BaseModule.get_dataset (base_module.py:304-322)."""
+
+        def build(role, split):
+            ds = [
+                NAME2FUNC[name](ns, split, self.output_size(), self.resize())
+                for name, ns in role
+            ]
+            if len(ds) > 1:
+                return ConcatDataset(ds)
+            return ds[0] if ds else None
+
+        return build(training, "train"), build(validation, "val"), build(test, "test")
+
+    # ---------------------------------------------------------- model
+    def build_model(self):
+        raise NotImplementedError()
+
+    def init_variables(self, rng, sample_batch):
+        model = self.build_model()
+        x = jnp.asarray(self._model_input(sample_batch))
+        # jit the init: unjitted flax init dispatches each op eagerly —
+        # thousands of device round trips on a remote/tunneled TPU.
+        init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False))
+        return model, init_fn(rng, x)
+
+    def _model_input(self, batch):
+        """Extracts the network input from a batch pytree."""
+        return batch[0]
+
+    # ---------------------------------------------------------- steps
+    def train_loss(self, model, variables, batch, rng):
+        """Returns (loss, aux) with aux = {'batch_stats', 'y_hat', 'y',
+        'logs': {...}}. Must be pure/jit-safe."""
+        raise NotImplementedError()
+
+    def val_outputs(self, model, variables, batch):
+        """Returns {'pairs': [(prefix, y_hat, y), ...], 'val_loss': scalar?}.
+
+        y_hat/y are (B, H, W, C) arrays whose metrics the loop computes
+        per-sample on device.
+        """
+        raise NotImplementedError()
+
+    def test_outputs(self, model, variables, batch):
+        return self.val_outputs(model, variables, batch)
+
+    def apply(self, model, variables, x, train=False, rng=None, mutable=False):
+        kwargs = {}
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if train and mutable:
+            out, mut = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], **kwargs
+            )
+            return out, mut.get("batch_stats")
+        return model.apply(variables, x, train=train, **kwargs), None
+
+    # ---------------------------------------------------------- optim
+    def optimizer(self):
+        raise NotImplementedError()
+
+    def monitor(self) -> tuple[str, str]:
+        """(metric name, mode) for the plateau scheduler — every reference
+        method monitors val_delta1 with mode 'max'."""
+        return "val_delta1", "max"
+
+    def lr_patience(self) -> int:
+        return int(getattr(self.method, "lr_patience", 2))
+
+    # ---------------------------------------------------------- args
+    @staticmethod
+    def add_default_args(parser: argparse.ArgumentParser, name: str,
+                         learning_rate: float, batch_size: int, ckpt=None):
+        """BaseModule.add_default_args parity (base_module.py:324-334)."""
+        parser.add_argument("--name", default=name, type=str)
+        parser.add_argument("--learning_rate", default=learning_rate, type=float)
+        parser.add_argument("--batch_size", default=batch_size, type=int)
+        parser.add_argument("--ckpt", default=ckpt, type=str)
+        parser.add_argument("--freeze_encoder", action="store_true")
+        parser.add_argument("--depth-loss-weight", type=float, default=10.0)
+        parser.add_argument("--comp-loss-weight", type=float, default=2.0)
+        parser.add_argument("--fbdiv-loss-weight", type=float, default=0.2)
+        parser.add_argument("--ssim-loss-weight", type=float, default=2.0)
+
+    @staticmethod
+    def add_model_specific_args(subparsers):
+        raise NotImplementedError()
+
+
+def resize_nhwc(x: jax.Array, size: tuple[int, int], method: str = "bilinear",
+                align_corners: bool = False) -> jax.Array:
+    """Shared F.interpolate equivalent for step logic."""
+    from mono_depth_estimation_tpu.ops.resize import resize_bilinear, resize_nearest
+
+    if method == "nearest":
+        return resize_nearest(x, size)
+    return resize_bilinear(x, size, align_corners=align_corners)

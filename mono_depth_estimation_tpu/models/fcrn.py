@@ -27,8 +27,8 @@ from mono_depth_estimation_tpu.models.common import (
     Conv,
     ConvTranspose,
     pixel_shuffle,
-    zero_unpool,
 )
+from mono_depth_estimation_tpu.ops.upproj import upproj_conv
 from mono_depth_estimation_tpu.models.encoders.resnet import (
     RESNET_PRESETS,
     ResNetEncoder,
@@ -36,37 +36,56 @@ from mono_depth_estimation_tpu.models.encoders.resnet import (
 from mono_depth_estimation_tpu.ops.resize import resize_bilinear
 
 
+class UnpoolConv(nn.Module):
+    """conv2d(zero_unpool(x), w) computed via the phase-decomposed fused
+    up-projection (ops/upproj.py) — same math as the reference's
+    unpool + KxK conv (FCRN.py:31-44,94-111) at ~1/4 the MXU work and with
+    no zero-stuffed intermediate in HBM. Param layout matches Conv (HWIO
+    'kernel') so the torch-weight converter is unchanged."""
+
+    out_features: int
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.out_features),
+            x.dtype,
+        )
+        return upproj_conv(x, w)
+
+
 class UpConvModule(nn.Module):
-    """unpool -> 5x5 conv -> BN -> ReLU (FCRN.py:94-111)."""
+    """unpool -> 5x5 conv -> BN -> ReLU (FCRN.py:94-111), fused."""
 
     out_features: int
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = zero_unpool(x)
-        x = Conv(self.out_features, kernel=5, padding=2)(x)
+        x = UnpoolConv(self.out_features, kernel=5)(x)
         x = BatchNorm()(x, train=train)
         return nn.relu(x)
 
 
 class UpProjModule(nn.Module):
-    """Two-branch up-projection (FCRN.py:167-197).
+    """Two-branch up-projection (FCRN.py:167-197), fused.
 
-    upper: unpool -> 5x5 conv -> BN -> ReLU -> 3x3 conv -> BN
-    lower: unpool -> 5x5 conv -> BN;  output = ReLU(upper + lower)
+    upper: unpool+5x5 conv -> BN -> ReLU -> 3x3 conv -> BN
+    lower: unpool+5x5 conv -> BN;  output = ReLU(upper + lower)
     """
 
     out_features: int
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        up = zero_unpool(x)
-        a = Conv(self.out_features, kernel=5, padding=2)(up)
+        a = UnpoolConv(self.out_features, kernel=5)(x)
         a = BatchNorm()(a, train=train)
         a = nn.relu(a)
         a = Conv(self.out_features, kernel=3, padding=1)(a)
         a = BatchNorm()(a, train=train)
-        b = Conv(self.out_features, kernel=5, padding=2)(up)
+        b = UnpoolConv(self.out_features, kernel=5)(x)
         b = BatchNorm()(b, train=train)
         return nn.relu(a + b)
 

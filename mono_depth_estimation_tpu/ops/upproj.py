@@ -1,0 +1,81 @@
+"""Fused up-projection: zero-unpool + KxK conv without the wasted FLOPs.
+
+The FCRN decoder (reference network/FCRN.py:167-205) upsamples by
+zero-stuffing (x lands at even positions, 3/4 of the map is zeros) and then
+convolves 5x5. Three quarters of the MXU work multiplies zeros. The exact
+identity (the reference's own "FasterUpProj" observation, FCRN.py:208-279):
+
+For output position (2i+di, 2j+dj) with phase (di, dj) in {0,1}^2, only the
+kernel taps aligned with the nonzero grid contribute. With torch-style
+padding p=k//2, output phase (di, dj) equals a small conv of x with the
+kernel slice w[di::2, dj::2] (suitably aligned), and the four phase outputs
+interleave back (depth-to-space).
+
+``upproj_conv(x, w)`` computes exactly conv2d(zero_unpool(x), w, pad=k//2)
+at ~1/4 the FLOPs and no zero-stuffed intermediate in HBM. Validated
+against the reference formulation in tests/test_upproj.py; FCRN uses it on
+its 'upproj'/'upconv' path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mono_depth_estimation_tpu.models.common import zero_unpool
+
+
+def _conv(x, w, pad):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def upproj_conv_reference(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Direct formulation: zero-unpool then full conv (the baseline)."""
+    k = w.shape[0]
+    p = k // 2
+    return _conv(zero_unpool(x), w, [(p, p), (p, p)])
+
+
+def upproj_conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Phase-decomposed fused up-projection.
+
+    Args:
+        x: (B, H, W, Cin).
+        w: (k, k, Cin, Cout) with odd k (torch padding k//2 semantics).
+
+    Returns:
+        (B, 2H, 2W, Cout) == conv2d(zero_unpool(x), w, padding=k//2).
+    """
+    k = w.shape[0]
+    assert k % 2 == 1, "odd kernels only (torch padding k//2)"
+    p = k // 2
+    b, h, wd, _ = x.shape
+    couts = w.shape[-1]
+
+    # Derivation: output row a = 2i + di reads zero-unpooled rows a + m - p
+    # for kernel row m; nonzero rows need m = p + di - 2u, u integer (u may
+    # be negative — taps below the center), touching input row i + di - u.
+    # With U = (p + di) // 2 the valid kernel rows are the stride-2 slice
+    # starting at p + di - 2U; in increasing-input order the correlation
+    # padding is lo = U - di, hi = len(slice) - 1 - lo.
+    phases = []
+    for di in range(2):
+        for dj in range(2):
+            ui = (p + di) // 2
+            uj = (p + dj) // 2
+            w_ph = w[p + di - 2 * ui :: 2, p + dj - 2 * uj :: 2]
+            lo_i = ui - di
+            lo_j = uj - dj
+            hi_i = w_ph.shape[0] - 1 - lo_i
+            hi_j = w_ph.shape[1] - 1 - lo_j
+            y = _conv(x, w_ph, [(lo_i, hi_i), (lo_j, hi_j)])
+            phases.append(y)
+
+    # interleave phases: phases[di*2+dj] -> output (2i+di, 2j+dj)
+    stacked = jnp.stack(phases, axis=-2)  # (B, H, W, 4, Cout)
+    stacked = stacked.reshape(b, h, wd, 2, 2, couts)
+    out = stacked.transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(b, 2 * h, 2 * wd, couts)

@@ -1,0 +1,265 @@
+"""The training/eval loop — the framework's pl.Trainer equivalent.
+
+Semantics mirrored from the reference Trainer config (train.py:132-145):
+* validation 5x per epoch (val_check_interval=0.2)
+* limit_train_batches / fast_dev_run (--dev) / overfit_batches (--overfit)
+* min/max epochs; EarlyStopping(val_loss, min, patience=5) (train.py:124-128)
+* best-by-val_loss checkpointing with filename-encoded metrics
+* per-method plateau LR scheduling on val_delta1 (mode max)
+* bf16 compute when precision==16 (replaces AMP O2 — SURVEY §2.8 item 3)
+
+TPU-first behavior: the step functions are jitted once, batches are padded
+to static shapes and sharded over the mesh 'data' axis, metric reduction is
+per-sample on device and masked on host, and the input pipeline overlaps
+host preprocessing with device compute (the loader prefetches in threads).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mono_depth_estimation_tpu.data.loader import Loader
+from mono_depth_estimation_tpu.metrics.logger import MetricAccumulator
+from mono_depth_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+from mono_depth_estimation_tpu.train.checkpoint import CheckpointManager, scan_best
+from mono_depth_estimation_tpu.train.optim import (
+    EarlyStopping,
+    PlateauScheduler,
+    set_learning_rate,
+)
+from mono_depth_estimation_tpu.train.state import TrainState
+from mono_depth_estimation_tpu.train.steps import make_metric_step, make_train_step
+from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        method,
+        metrics=("delta1", "delta2", "delta3", "mse", "mae", "log10", "rmse"),
+        max_epochs: int = 25,
+        min_epochs: int = 5,
+        val_check_interval: float = 0.2,
+        limit_train_batches: float = 1.0,
+        fast_dev_run: bool = False,
+        overfit_batches: int = 0,
+        precision: int = 16,
+        seed: int = 0,
+        run_name: str = "run",
+        checkpoint_root: str = "checkpoints",
+        worker: int = 4,
+        eval_batch_size: int | None = None,
+        mesh=None,
+        logger: RunLogger | None = None,
+    ):
+        self.method = method
+        self.metric_names = [m for m in metrics if m != "ssim"] + (
+            ["ssim"] if "ssim" in metrics else []
+        )
+        self.max_epochs = max_epochs
+        self.min_epochs = min_epochs
+        self.val_check_interval = val_check_interval
+        self.limit_train_batches = limit_train_batches
+        self.fast_dev_run = fast_dev_run
+        self.overfit_batches = overfit_batches
+        self.seed = seed
+        self.worker = worker
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod(self.mesh.devices.shape))
+        self.compute_dtype = jnp.bfloat16 if precision == 16 else None
+        self.eval_batch_size = eval_batch_size or self.n_devices
+        self.run_name = run_name
+        self.ckpt = CheckpointManager(Path(checkpoint_root) / run_name)
+        self.logger = logger or RunLogger(Path("runs") / run_name)
+        monitor, mode = method.monitor()
+        self.plateau = PlateauScheduler(
+            mode=mode, factor=0.1, patience=method.lr_patience()
+        )
+        self.plateau_monitor = monitor
+        self.early_stop = EarlyStopping(mode="min", patience=5)
+
+        self.model = None
+        self.state = None
+        self._train_step = None
+        self._val_step = None
+        self._test_step = None
+        self.optimizer = None
+        self.global_step = 0
+
+    # ------------------------------------------------------------ setup
+    def _loaders(self, train_ds, val_ds, test_ds):
+        train_t, val_t, test_t = self.method.policy_fns()
+        bs = int(self.method.method.batch_size)
+        bs = max(self.n_devices, (bs // self.n_devices) * self.n_devices)
+        train_loader = (
+            Loader(train_ds, bs, shuffle=True, transform=train_t,
+                   num_workers=self.worker, seed=self.seed)
+            if train_ds is not None
+            else None
+        )
+        val_loader = (
+            Loader(val_ds, self.eval_batch_size, shuffle=False, transform=val_t,
+                   num_workers=self.worker, seed=self.seed)
+            if val_ds is not None
+            else None
+        )
+        test_loader = (
+            Loader(test_ds, self.eval_batch_size, shuffle=False, transform=test_t,
+                   num_workers=self.worker, seed=self.seed)
+            if test_ds is not None
+            else None
+        )
+        return train_loader, val_loader, test_loader
+
+    def setup(self, sample_batch, restore_ckpt: str | None = None):
+        """Initializes model/state and jits the steps. sample_batch is one
+        host batch (numpy pytree) used for shape-driven init."""
+        rng = jax.random.PRNGKey(self.seed)
+        self.model, variables = self.method.init_variables(rng, sample_batch)
+        self.optimizer = self.method.optimizer()
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+        )
+        if restore_ckpt:
+            self.state = self.ckpt.restore(restore_ckpt, self.state)
+        self._train_step = make_train_step(
+            self.method, self.model, self.optimizer, self.compute_dtype
+        )
+        self._val_step = make_metric_step(
+            self.method, self.model, self.metric_names, "val", self.compute_dtype
+        )
+        self._test_step = make_metric_step(
+            self.method, self.model, self.metric_names, "test", self.compute_dtype
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        self.logger.log({"n_params": n_params, "n_devices": self.n_devices})
+        return self.state
+
+    def _variables(self):
+        v = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    # ------------------------------------------------------------ eval
+    def _run_eval(self, loader, step_fn, split: str):
+        acc = MetricAccumulator()
+        losses = []
+        for batch, mask in loader:
+            dbatch = shard_batch(batch, self.mesh)
+            results, extras = step_fn(self._variables(), dbatch)
+            results = jax.device_get(results)
+            for name, values in results.items():
+                vals = np.asarray(values)[mask]
+                for v in vals:
+                    acc.update({name: float(v)})
+            if "val_loss" in extras:
+                losses.append(float(extras["val_loss"]))
+            if self.fast_dev_run:
+                break
+        out = acc.averages()
+        if losses:
+            out["val_loss"] = float(np.mean(losses))
+        return out
+
+    def validate(self, val_loader):
+        metrics = self._run_eval(val_loader, self._val_step, "val")
+        return {f"val_{k}" if not k.startswith("val_") else k: v
+                for k, v in metrics.items()}
+
+    def test(self, test_loader):
+        return self._run_eval(test_loader, self._test_step, "test")
+
+    # ------------------------------------------------------------ fit
+    def fit(self, train_ds, val_ds, test_ds=None, restore: bool = True):
+        train_loader, val_loader, _ = self._loaders(train_ds, val_ds, test_ds)
+        assert train_loader is not None and val_loader is not None
+
+        sample_batch, _ = next(iter(train_loader))
+        restore_path = None
+        if restore:
+            best = scan_best(self.ckpt.run_dir)
+            if best:
+                restore_path = best[0]
+                print(f"Resuming from {best[0]} (val_loss={best[2]:.4f})")
+        self.setup(sample_batch, restore_ckpt=restore_path)
+
+        n_train = len(train_loader)
+        if self.limit_train_batches < 1.0:
+            n_train = max(1, int(n_train * self.limit_train_batches))
+        elif self.limit_train_batches > 1.0:
+            n_train = min(n_train, int(self.limit_train_batches))
+        if self.overfit_batches:
+            n_train = self.overfit_batches
+        val_every = max(1, int(math.ceil(n_train * self.val_check_interval)))
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        stop = False
+        overfit_cache = None
+        for epoch in range(self.max_epochs):
+            epoch_t0 = time.time()
+            batch_iter = iter(train_loader)
+            for b in range(n_train):
+                if self.overfit_batches:
+                    if overfit_cache is None:
+                        overfit_cache = next(batch_iter)
+                    batch, mask = overfit_cache
+                else:
+                    try:
+                        batch, mask = next(batch_iter)
+                    except StopIteration:
+                        break
+                rng, step_rng = jax.random.split(rng)
+                dbatch = shard_batch(batch, self.mesh)
+                self.state, loss, y_hat, y, logs = self._train_step(
+                    self.state, dbatch, step_rng
+                )
+                self.global_step += 1
+                if self.global_step % 50 == 1 or self.fast_dev_run:
+                    payload = {"train_loss": float(loss), "epoch": epoch}
+                    payload.update({f"train_{k}": float(v) for k, v in logs.items()})
+                    self.logger.log(payload, step=self.global_step)
+
+                run_val = ((b + 1) % val_every == 0) or (b + 1 == n_train)
+                if run_val or self.fast_dev_run:
+                    val_metrics = self.validate(val_loader)
+                    val_loss = val_metrics.get(
+                        "val_val_loss", val_metrics.get("val_loss", float("nan"))
+                    )
+                    self.logger.log(val_metrics, step=self.global_step)
+                    if not math.isnan(val_loss):
+                        self.ckpt.save(self.state, epoch, val_loss)
+                    mon = val_metrics.get(self.plateau_monitor)
+                    if mon is not None and self.plateau.step(float(mon)):
+                        base_lr = float(self.method.method.learning_rate)
+                        new_lr = self.plateau.lr(base_lr)
+                        self.state = self.state.replace(
+                            opt_state=set_learning_rate(
+                                self.state.opt_state, new_lr
+                            )
+                        )
+                        self.logger.log({"lr": new_lr}, step=self.global_step)
+                    if epoch + 1 >= self.min_epochs and not math.isnan(val_loss):
+                        if self.early_stop.step(val_loss):
+                            print(f"Early stopping at epoch {epoch}")
+                            stop = True
+                if self.fast_dev_run or stop:
+                    break
+            self.logger.log(
+                {"epoch_time_s": time.time() - epoch_t0, "epoch": epoch},
+                step=self.global_step,
+            )
+            if self.fast_dev_run or stop:
+                break
+        return self.state

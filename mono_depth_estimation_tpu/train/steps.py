@@ -1,0 +1,95 @@
+"""Jitted train / eval step factories.
+
+One jit per method: the train step donates the TrainState (params update in
+place in HBM), the eval step computes metrics per-sample on device (vmap) so
+the host can mask padded samples and accumulate exactly like the reference's
+per-batch averaging with batch_size=1 (modules/base_module.py:61-78).
+
+Under a mesh, batches arrive sharded on 'data' and params replicated; XLA
+inserts the gradient all-reduce over ICI. bf16 policy: inputs are cast to
+``compute_dtype`` before the model, losses/metrics always run in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mono_depth_estimation_tpu.metrics import compute_metrics
+from mono_depth_estimation_tpu.train.state import TrainState
+
+
+def _cast_inputs(batch, dtype):
+    if dtype is None:
+        return batch
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, batch)
+
+
+def make_train_step(method, model, optimizer, compute_dtype=None):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        batch_c = _cast_inputs(batch, compute_dtype)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            loss, aux = method.train_loss(model, variables, batch_c, rng)
+            return loss.astype(jnp.float32), aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_bs = aux.get("batch_stats") or state.batch_stats
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        logs = {k: v.astype(jnp.float32) for k, v in aux.get("logs", {}).items()}
+        return new_state, loss, aux["y_hat"], aux["y"], logs
+
+    return train_step
+
+
+def make_metric_step(method, model, metric_names: Sequence[str],
+                     split: str = "val", compute_dtype=None):
+    """Builds the jitted eval step: returns per-sample metric dicts keyed by
+    '<prefix><metric>' with shape (B,), plus optional val_loss scalar."""
+
+    outputs_fn = method.val_outputs if split == "val" else method.test_outputs
+
+    @jax.jit
+    def metric_step(variables, batch):
+        out = outputs_fn(model, variables, _cast_inputs(batch, compute_dtype))
+
+        def per_sample(pred, target):
+            f = lambda p, t: compute_metrics(p[None], t[None], names=metric_names)
+            return jax.vmap(f)(pred, target)
+
+        results = {}
+        for prefix, y_hat, y in out["pairs"]:
+            ms = per_sample(y_hat.astype(jnp.float32), y.astype(jnp.float32))
+            for k, v in ms.items():
+                results[f"{prefix}{k}"] = v
+        extras = {}
+        if "val_loss" in out:
+            extras["val_loss"] = out["val_loss"].astype(jnp.float32)
+        return results, extras
+
+    return metric_step

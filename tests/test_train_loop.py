@@ -1,0 +1,116 @@
+"""End-to-end training loop tests on the fake 8-device CPU mesh."""
+
+import argparse
+
+import jax
+import numpy as np
+import pytest
+
+from mono_depth_estimation_tpu.data.synthetic import SyntheticDepthDataset
+from mono_depth_estimation_tpu.methods.laina import LainaMethod
+from mono_depth_estimation_tpu.models.fcrn import FCRN
+from mono_depth_estimation_tpu.parallel.mesh import make_mesh
+from mono_depth_estimation_tpu.train.loop import Trainer
+
+
+class TinyLainaMethod(LainaMethod):
+    """Laina with a ResNet-18 encoder and small geometry for fast tests."""
+
+    def output_size(self):
+        return (64, 96)
+
+    def resize(self):
+        return 70
+
+    def build_model(self):
+        return FCRN(
+            layers=18, decoder="fasterupproj",
+            output_size=self.output_size(),
+            out_channels=self.method.out_channels,
+        )
+
+
+def _make_method(**over):
+    g = argparse.Namespace(metrics=["delta1", "mae", "rmse"], worker=0)
+    m = argparse.Namespace(
+        name="laina", learning_rate=1e-3, batch_size=8, ckpt=None,
+        out_channels=10, loss="mae+composite", variance_focus=0.85,
+        depth_loss_weight=10.0, comp_loss_weight=2.0, fbdiv_loss_weight=0.2,
+        ssim_loss_weight=2.0, lr_patience=2, decoder="fasterupproj",
+    )
+    for k, v in over.items():
+        setattr(m, k, v)
+    return TinyLainaMethod(g, m)
+
+
+class _StdepthStyleDataset(SyntheticDepthDataset):
+    """Synthetic scenes reshaped into the 10-channel stdepth protocol."""
+
+    def get_raw(self, index):
+        rgb, depth = super().get_raw(index)
+        h, w = depth.shape
+        d01 = (depth / depth.max()).astype(np.float32)[..., None]
+        alpha = np.ones((h, w, 1), np.float32)
+        front = np.concatenate([rgb.astype(np.float32) / 255.0, alpha], -1)
+        back = front * 0.5
+        gt = [front, back, d01, d01]
+        return rgb, gt
+
+
+@pytest.mark.slow
+def test_fit_fast_dev_run(tmp_path):
+    method = _make_method()
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+    train_ds = _StdepthStyleDataset(split="train", n_images=8, image_size=(96, 128))
+    val_ds = _StdepthStyleDataset(split="val", n_images=2, image_size=(96, 128))
+
+    trainer = Trainer(
+        method,
+        metrics=["delta1", "mae", "rmse"],
+        fast_dev_run=True,
+        precision=32,
+        run_name="test_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+        mesh=mesh,
+    )
+    trainer.logger.run_dir = tmp_path
+    state = trainer.fit(train_ds, val_ds)
+    assert int(state.step) == 1
+    # checkpoint written with val_loss-encoded name
+    ckpts = list((tmp_path / "ckpts" / "test_run").glob("epoch=*val_loss=*.ckpt"))
+    assert len(ckpts) == 1
+
+
+@pytest.mark.slow
+def test_overfit_reduces_loss(tmp_path):
+    method = _make_method(loss="mae")
+    train_ds = _StdepthStyleDataset(split="train", n_images=8, image_size=(96, 128))
+    val_ds = _StdepthStyleDataset(split="val", n_images=1, image_size=(96, 128))
+    trainer = Trainer(
+        method,
+        metrics=["mae"],
+        max_epochs=1,
+        min_epochs=1,
+        overfit_batches=1,
+        limit_train_batches=8,
+        val_check_interval=1.0,
+        precision=32,
+        run_name="overfit_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+    )
+    train_loader, _, _ = trainer._loaders(train_ds, None, None)
+    batch, _ = next(iter(train_loader))
+    trainer.setup(batch)
+    rng = jax.random.PRNGKey(0)
+    from mono_depth_estimation_tpu.parallel.mesh import shard_batch
+
+    dbatch = shard_batch(batch, trainer.mesh)
+    losses = []
+    for i in range(8):
+        rng, sr = jax.random.split(rng)
+        trainer.state, loss, *_ = trainer._train_step(trainer.state, dbatch, sr)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
