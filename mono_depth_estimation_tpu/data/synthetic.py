@@ -62,6 +62,8 @@ class SyntheticDepthDataset(BaseDataset):
         self.resize = resize
         self.image_size = image_size
         self.max_depth = max_depth
+        if n_images <= 0:  # -1 means "all" for real datasets; default 16 here
+            n_images = 16
         base = {"train": 0, "val": 10_000, "test": 20_000}[
             "train" if "train" in split else split
         ]

@@ -35,6 +35,10 @@ def masked_depth_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    if pred.ndim == 3:
+        pred = pred[..., None]
+    if target.ndim == 3:
+        target = target[..., None]
     mask = (target > 0).astype(jnp.float32)
 
     p = _flatten_per_image(pred * mask)

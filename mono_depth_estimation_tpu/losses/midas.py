@@ -80,7 +80,11 @@ def _reduce(image_loss: jax.Array, m: jax.Array, reduction: str) -> jax.Array:
     if reduction == "batch-based":
         divisor = m.sum()
         return jnp.where(divisor == 0, 0.0, image_loss.sum() / jnp.maximum(divisor, 1e-12))
-    # image-based: mean over images of per-image averages
+    # image-based: mean over images of per-image averages. NOTE: the
+    # reference's reduction_image_based (criteria.py:191-199) indexes the
+    # flattened per-pixel loss vector with per-IMAGE indices — ill-defined;
+    # all reference modules use batch-based. We implement the documented
+    # intent.
     valid = m > 0
     per_image = jnp.where(valid, image_loss / jnp.maximum(m, 1.0), image_loss)
     return per_image.mean()
@@ -101,8 +105,15 @@ def mse_loss(prediction, target, mask, reduction: str = "batch-based"):
 
 def trimmed_mae_loss(prediction, target, mask, trim: float = 0.2,
                      reduction: str = "batch-based"):
-    """Intended trimmed MAE: drop the largest `trim` fraction of valid residuals
-    (over the whole batch, like the reference's flattened sort)."""
+    """Trimmed MAE: drop the largest ``trim`` fraction of valid residuals
+    (over the whole batch, flattened sort).
+
+    NOTE (reference bug, not copied): criteria.py:233-239 writes
+    ``torch.sort(res.view(-1))[: int(len(res) * 0.8)]`` — that slices the
+    (values, indices) TUPLE returned by torch.sort, not the values, so the
+    reference never actually trims and its 'trim'/'ssitrim' losses degrade
+    to plain (masked) MAE. Pass ``trim=0.0`` here to reproduce the
+    reference's actual behavior (tests/test_reference_parity.py does)."""
     m = mask.sum(axis=(1, 2))
     res = jnp.abs(prediction - target) * mask
     flat = res.reshape(-1)
@@ -164,6 +175,7 @@ def midas_loss(
     scales: int = 4,
     loss: str = "ssimse",
     reduction: str = "batch-based",
+    trim: float = 0.2,
 ) -> jax.Array:
     """MidasLoss (criteria.py:306-332): optional ssi alignment + data + grad."""
     prediction = _squeeze_map(prediction).astype(jnp.float32)
@@ -175,7 +187,9 @@ def midas_loss(
         prediction = scale[:, None, None] * prediction + shift[:, None, None]
 
     if "trim" in loss:
-        total = trimmed_mae_loss(prediction, target, mask, reduction=reduction)
+        total = trimmed_mae_loss(
+            prediction, target, mask, trim=trim, reduction=reduction
+        )
     elif "mse" in loss:
         total = mse_loss(prediction, target, mask, reduction=reduction)
     elif "l1" in loss:
@@ -196,6 +210,7 @@ def trimmed_procrustes_loss(
     alpha: float = 0.5,
     scales: int = 4,
     reduction: str = "batch-based",
+    trim: float = 0.2,
 ) -> jax.Array:
     """TrimmedProcrustesLoss (criteria.py:335-363)."""
     prediction = _squeeze_map(prediction).astype(jnp.float32)
@@ -204,7 +219,7 @@ def trimmed_procrustes_loss(
 
     pred_n = normalize_prediction_robust(prediction, mask)
     targ_n = normalize_prediction_robust(target, mask)
-    total = trimmed_mae_loss(pred_n, targ_n, mask, reduction=reduction)
+    total = trimmed_mae_loss(pred_n, targ_n, mask, trim=trim, reduction=reduction)
     if alpha > 0:
         total = total + alpha * multiscale_gradient_loss(
             pred_n, targ_n, mask, scales=scales, reduction=reduction
