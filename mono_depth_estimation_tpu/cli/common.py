@@ -71,6 +71,15 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
     parser.add_argument("--worker", default=8, type=int)
     parser.add_argument("--find_learning_rate", action="store_true")
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the forward in backward (trade FLOPs for HBM)",
+    )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="call jax.distributed.initialize() for multi-host (DCN) meshes; "
+        "coordinator/process env via standard JAX variables",
+    )
+    parser.add_argument(
         "--detect_anomaly", action="store_true",
         help="Enables jax_debug_nans (the XLA analogue of torch anomaly "
         "detection)",
@@ -137,6 +146,19 @@ def derive_globals(args):
     args.globals.depth_method = args.depth_method
     args.globals.metrics = list(args.globals.metrics)
     return args
+
+
+def maybe_init_distributed(args) -> None:
+    """Multi-host initialization (SURVEY §2.8 item 1: DCN via
+    jax.distributed.initialize + identical mesh construction)."""
+    import os
+
+    if getattr(args.globals, "distributed", False) or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        jax.distributed.initialize()
 
 
 def seed_everything(seed: int | None) -> int:

@@ -68,8 +68,8 @@ def main(argv=None):
         mesh=mesh,
     )
 
-    if args.inputs:
-        test_ds = NpyDataset(args.inputs)
+    if args.globals.inputs:
+        test_ds = NpyDataset(args.globals.inputs)
         _, _, test_fn = method.policy_fns()
         from mono_depth_estimation_tpu.data.loader import Loader
 
@@ -86,12 +86,17 @@ def main(argv=None):
 
     from mono_depth_estimation_tpu.viz import save_stdepth_prediction
 
+    @jax.jit
+    def outputs_fn(v, b):
+        out = method.test_outputs(trainer.model, v, b)
+        return out["y_hat"], out.get("pred_full", out["y_hat"])
+
     results_acc = None
     for bi, (batch, mask) in enumerate(test_loader):
         dbatch = shard_batch(batch, trainer.mesh)
-        out = method.test_outputs(trainer.model, trainer._variables(), dbatch)
-        y_hat = np.asarray(out["y_hat"])
-        pred_full = np.asarray(out.get("pred_full", out["y_hat"]))
+        y_hat_dev, pred_full_dev = outputs_fn(trainer._variables(), dbatch)
+        y_hat = np.asarray(y_hat_dev)
+        pred_full = np.asarray(pred_full_dev)
         np.savez(
             pred_path / f"pred_{bi:04d}.npz",
             prediction=y_hat, composited=pred_full,

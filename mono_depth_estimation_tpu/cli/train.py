@@ -16,6 +16,7 @@ import jax
 from mono_depth_estimation_tpu.cli.common import (
     build_parser,
     derive_globals,
+    maybe_init_distributed,
     parse_args_into_namespaces,
     seed_everything,
 )
@@ -68,6 +69,7 @@ def main(argv=None):
         print("Enabling nan debugging")
         jax.config.update("jax_debug_nans", True)
 
+    maybe_init_distributed(args)
     args.globals.seed = seed_everything(args.globals.seed)
 
     ckpt_name = name.replace("VALIDATE", "") if validate_only_prefix else name
@@ -85,6 +87,7 @@ def main(argv=None):
         fast_dev_run=args.globals.dev,
         overfit_batches=1 if args.globals.overfit else 0,
         precision=args.globals.precision,
+        remat=getattr(args.globals, "remat", False),
         seed=args.globals.seed,
         run_name=ckpt_name,
         worker=args.globals.worker,

@@ -57,19 +57,33 @@ def _lpg_kernel(plane_ref, out_ref, *, upratio: int):
     out_ref[0, :, :] = n4e / (n1e * uf + n2e * vf + n3e)
 
 
+def _pick_row_block(h: int, w: int, r: int, budget_bytes: int = 2 << 20) -> int:
+    """Largest row block whose output tile fits the VMEM budget."""
+    hb = h
+    while hb > 1 and hb * r * w * r * 4 > budget_bytes:
+        hb = (hb + 1) // 2
+    while h % hb:
+        hb -= 1
+    return max(hb, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("upratio",))
 def lpg_pallas(plane_eq: jax.Array, upratio: int) -> jax.Array:
-    """(B, h, w, 4) -> (B, h*r, w*r); same math as ops/lpg.py."""
+    """(B, h, w, 4) -> (B, h*r, w*r); same math as ops/lpg.py.
+
+    Tiled over batch x row-blocks so the output tile stays within VMEM.
+    """
     b, h, w, _ = plane_eq.shape
     r = upratio
+    hb = _pick_row_block(h, w, r)
     return pl.pallas_call(
         functools.partial(_lpg_kernel, upratio=r),
-        grid=(b,),
+        grid=(b, h // hb),
         in_specs=[
-            pl.BlockSpec((1, h, w, 4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, hb, w, 4), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h * r, w * r), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, hb * r, w * r), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * r, w * r), plane_eq.dtype),
     )(plane_eq)

@@ -121,6 +121,35 @@ class Method:
     def optimizer(self):
         raise NotImplementedError()
 
+    def frozen_predicate(self):
+        """Returns predicate(flat param path) -> bool(frozen), or None.
+
+        Covers --freeze_encoder (reference freeze_params on the encoder
+        submodule, modules/base_module.py:31-33,89-91). Methods override to
+        add their own fixing rules (e.g. BTS conv-block fixing).
+        """
+        if getattr(self.method, "freeze_encoder", False):
+            return is_encoder_path
+        return None
+
+    def wrap_optimizer(self, tx):
+        """Applies parameter freezing as a final update mask — equivalent to
+        the reference's requires_grad=False (and it also suppresses weight
+        decay on frozen params, matching torch)."""
+        pred = self.frozen_predicate()
+        if pred is None:
+            return tx
+        import optax
+        from flax import traverse_util
+
+        def mask_pytree(params):
+            flat = traverse_util.flatten_dict(params)
+            return traverse_util.unflatten_dict(
+                {k: bool(pred(k)) for k in flat}
+            )
+
+        return optax.chain(tx, optax.masked(optax.set_to_zero(), mask_pytree))
+
     def monitor(self) -> tuple[str, str]:
         """(metric name, mode) for the plateau scheduler — every reference
         method monitors val_delta1 with mode 'max'."""
@@ -147,6 +176,11 @@ class Method:
     @staticmethod
     def add_model_specific_args(subparsers):
         raise NotImplementedError()
+
+
+def is_encoder_path(path: tuple[str, ...]) -> bool:
+    top = str(path[0]) if path else ""
+    return "Encoder" in top or "VGG19BNFeatures" in top
 
 
 def resize_nhwc(x: jax.Array, size: tuple[int, int], method: str = "bilinear",

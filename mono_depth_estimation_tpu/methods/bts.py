@@ -103,6 +103,48 @@ class BtsMethod(Method):
         return {"pairs": [("", y_hat, y)], "y_hat": y_hat,
                 "pred_full": pred_full}
 
+    def frozen_predicate(self):
+        """Encoder layer fixing (modules/bts.py:56-87).
+
+        The reference ALWAYS runs the fixing branch (its guard tests key
+        presence, and argparse always defines the keys): by default the
+        first conv and every encoder BatchNorm affine are frozen;
+        --fix_first_conv_block(s) extends to the first one/two conv blocks.
+        freeze_encoder freezes the whole encoder.
+        """
+        base = super().frozen_predicate()
+        if base is not None:
+            return base  # whole encoder frozen
+
+        is_dense = "densenet" in self.method.encoder
+        fix2 = getattr(self.method, "fix_first_conv_blocks", False)
+        fix1 = getattr(self.method, "fix_first_conv_block", False)
+
+        def pred(path):
+            top = str(path[0]) if path else ""
+            if "Encoder" not in top:
+                return False
+            sub = "/".join(str(p) for p in path[1:])
+            if "BatchNorm" in sub:  # '.bn' / 'norm' substrings in the ref
+                return True
+            if is_dense:
+                if sub.startswith("Conv_0/"):  # conv0
+                    return True
+                if (fix1 or fix2) and sub.startswith("DenseBlock_0/DenseLayer_0/"):
+                    return True
+                if fix2 and sub.startswith("DenseBlock_0/DenseLayer_1/"):
+                    return True
+            else:
+                if sub.startswith("Conv_0/"):  # conv1
+                    return True
+                if (fix1 or fix2) and sub.startswith("BottleneckBlock_0/"):
+                    return True
+                if fix2 and sub.startswith("BottleneckBlock_1/"):
+                    return True
+            return False
+
+        return pred
+
     def optimizer(self):
         # AdamW: encoder with weight decay, decoder without
         # (modules/bts.py:139-146)
@@ -110,14 +152,14 @@ class BtsMethod(Method):
             top = str(path[0]) if path else ""
             return "encoder" if ("Encoder" in top) else "decoder"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "adamw", self.method.learning_rate, label_fn=label_fn,
             groups={
                 "encoder": {"weight_decay": self.method.weight_decay},
                 "decoder": {"weight_decay": 0.0},
             },
             eps=self.method.adam_eps,
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

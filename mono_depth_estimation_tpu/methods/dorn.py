@@ -141,11 +141,11 @@ class DornMethod(Method):
             top = str(path[0]) if path else ""
             return "backbone" if top.startswith("ResNetEncoder") else "head"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "sgd", self.method.learning_rate, label_fn=label_fn,
             groups={"backbone": {"mult": 1.0}, "head": {"mult": 10.0}},
             weight_decay=self.method.weight_decay,
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

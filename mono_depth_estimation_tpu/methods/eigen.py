@@ -48,7 +48,7 @@ class EigenMethod(Method):
 
     def optimizer(self):
         # three per-scale groups, all at the same lr (modules/eigen.py:55-62)
-        return make_optimizer("adam", self.method.learning_rate)
+        return self.wrap_optimizer(make_optimizer("adam", self.method.learning_rate))
 
     @staticmethod
     def add_model_specific_args(subparsers):

@@ -76,10 +76,10 @@ class LainaMethod(Method):
         def label_fn(path):
             return "1x" if path and str(path[0]).startswith("ResNetEncoder") else "10x"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "adam", self.method.learning_rate, label_fn=label_fn,
             groups={"1x": {"mult": 1.0}, "10x": {"mult": 10.0}},
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

@@ -91,10 +91,10 @@ class MidasMethod(Method):
             top = str(path[0]) if path else ""
             return "pretrained" if top.startswith("ResNetEncoder") else "scratch"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "adam", self.method.learning_rate, label_fn=label_fn,
             groups={"pretrained": {"mult": 0.1}, "scratch": {"mult": 1.0}},
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

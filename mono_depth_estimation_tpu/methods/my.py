@@ -52,10 +52,10 @@ class MyMethod(Method):
             top = str(path[0]) if path else ""
             return "encoder" if "Encoder" in top else "decoder"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "adam", self.method.learning_rate, label_fn=label_fn,
             groups={"encoder": {"mult": 1.0}, "decoder": {"mult": 10.0}},
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

@@ -61,10 +61,10 @@ class SharpnetMethod(Method):
         return {"pairs": [("", y_hat, y)], "val_loss": loss, "y_hat": y_hat}
 
     def optimizer(self):
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "adam", self.method.learning_rate,
             weight_decay=float(self.method.weight_decay),
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

@@ -117,7 +117,7 @@ class VnlMethod(Method):
             )
             return "encoder" if is_enc else "decoder"
 
-        return make_optimizer(
+        return self.wrap_optimizer(make_optimizer(
             "sgd", self.method.learning_rate, label_fn=label_fn,
             groups={
                 "encoder": {"mult": 1.0},
@@ -125,7 +125,7 @@ class VnlMethod(Method):
             },
             weight_decay=float(self.method.weight_decay),
             momentum=0.9,
-        )
+        ))
 
     @staticmethod
     def add_model_specific_args(subparsers):

@@ -50,6 +50,7 @@ class Trainer:
         fast_dev_run: bool = False,
         overfit_batches: int = 0,
         precision: int = 16,
+        remat: bool = False,
         seed: int = 0,
         run_name: str = "run",
         checkpoint_root: str = "checkpoints",
@@ -57,6 +58,7 @@ class Trainer:
         eval_batch_size: int | None = None,
         mesh=None,
         logger: RunLogger | None = None,
+        save_visualizations: bool = False,
     ):
         self.method = method
         self.metric_names = [m for m in metrics if m != "ssim"] + (
@@ -73,6 +75,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.compute_dtype = jnp.bfloat16 if precision == 16 else None
+        self.remat = remat
         self.eval_batch_size = eval_batch_size or self.n_devices
         self.run_name = run_name
         self.ckpt = CheckpointManager(Path(checkpoint_root) / run_name)
@@ -89,6 +92,9 @@ class Trainer:
         self._train_step = None
         self._val_step = None
         self._test_step = None
+        self._viz_fn = None
+        self.save_visualizations = save_visualizations
+        self._viz_count = 0
         self.optimizer = None
         self.global_step = 0
 
@@ -134,7 +140,8 @@ class Trainer:
         if restore_ckpt:
             self.state = self.ckpt.restore(restore_ckpt, self.state)
         self._train_step = make_train_step(
-            self.method, self.model, self.optimizer, self.compute_dtype
+            self.method, self.model, self.optimizer, self.compute_dtype,
+            remat=self.remat,
         )
         self._val_step = make_metric_step(
             self.method, self.model, self.metric_names, "val", self.compute_dtype
@@ -175,8 +182,33 @@ class Trainer:
 
     def validate(self, val_loader):
         metrics = self._run_eval(val_loader, self._val_step, "val")
+        if self.save_visualizations:
+            self._save_visualization(val_loader)
         return {f"val_{k}" if not k.startswith("val_") else k: v
                 for k, v in metrics.items()}
+
+    def _save_visualization(self, loader, nam: str = "val"):
+        """Mosaic/row figure for the first batch of a val pass — the disk
+        analogue of the reference's W&B visualization cadence
+        (modules/base_module.py:286-301)."""
+        from mono_depth_estimation_tpu.viz import save_stdepth_prediction
+
+        if self._viz_fn is None:
+            self._viz_fn = jax.jit(
+                lambda v, b: (
+                    lambda o: (o["y_hat"], o.get("pred_full", o["y_hat"]))
+                )(self.method.val_outputs(self.model, v, b))
+            )
+        batch, _ = next(iter(loader))
+        dbatch = shard_batch(batch, self.mesh)
+        y_hat, pred_full = self._viz_fn(self._variables(), dbatch)
+        viz_dir = Path(self.logger.run_dir) / "viz"
+        viz_dir.mkdir(parents=True, exist_ok=True)
+        save_stdepth_prediction(
+            viz_dir / f"{nam}_{self._viz_count:04d}.png",
+            batch, np.asarray(y_hat), np.asarray(pred_full),
+        )
+        self._viz_count += 1
 
     def test(self, test_loader):
         return self._run_eval(test_loader, self._test_step, "test")

@@ -35,7 +35,8 @@ def _cast_inputs(batch, dtype):
     return jax.tree.map(cast, batch)
 
 
-def make_train_step(method, model, optimizer, compute_dtype=None):
+def make_train_step(method, model, optimizer, compute_dtype=None,
+                    remat: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         batch_c = _cast_inputs(batch, compute_dtype)
@@ -46,6 +47,12 @@ def make_train_step(method, model, optimizer, compute_dtype=None):
                 variables["batch_stats"] = state.batch_stats
             loss, aux = method.train_loss(model, variables, batch_c, rng)
             return loss.astype(jnp.float32), aux
+
+        if remat:
+            # rematerialization: keep only the inputs as residuals and
+            # recompute the forward during backward — trades FLOPs for HBM
+            # (SURVEY.md 'HBM bandwidth' design note)
+            loss_fn = jax.checkpoint(loss_fn)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

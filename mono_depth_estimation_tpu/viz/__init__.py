@@ -42,9 +42,12 @@ def merge_into_row(rgb, depth_target, depth_pred):
     t = np.squeeze(_np(depth_target))
     p = np.squeeze(_np(depth_pred))
     d_min, d_max = min(t.min(), p.min()), max(t.max(), p.max())
-    return np.hstack(
-        [rgb, colored_depthmap(t, d_min, d_max), colored_depthmap(p, d_min, d_max)]
-    )
+    h, w = rgb.shape[:2]
+    cols = [
+        cv2.resize(colored_depthmap(m, d_min, d_max), (w, h))
+        for m in (t, p)
+    ]
+    return np.hstack([rgb, *cols])
 
 
 def add_row(img_merge, row):

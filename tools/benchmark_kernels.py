@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, inputs, iters=8):
+def timeit(fn, inputs, iters=5):
     """Median per-call seconds; fresh input per call + host readback."""
     fn = jax.jit(fn)
     _ = np.asarray(fn(inputs[0]).sum())  # compile
@@ -42,7 +42,7 @@ def bench_lpg():
     from mono_depth_estimation_tpu.ops.lpg import local_planar_guidance
 
     results = {}
-    for r, h, w in [(8, 64, 64), (4, 128, 128), (2, 256, 256)]:
+    for r, h, w in [(8, 64, 64), (4, 128, 128)]:
         b = 8
         keys = [jax.random.PRNGKey(i) for i in range(10)]
         planes = [
@@ -69,7 +69,7 @@ def bench_preproc():
     mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
     results = {}
-    for h, w, th, tw in [(540, 720, 512, 512), (500, 640, 480, 640)]:
+    for h, w, th, tw in [(540, 720, 512, 512)]:
         b = 16
         imgs = [
             jax.random.randint(jax.random.PRNGKey(i), (b, h, w, 3), 0, 256, jnp.int32)
@@ -92,8 +92,11 @@ def bench_preproc():
 
 def main():
     out = {}
-    out.update(bench_lpg())
-    out.update(bench_preproc())
+    for bench in (bench_lpg, bench_preproc):
+        try:
+            out.update(bench())
+        except Exception as e:  # record partial results + the failure
+            out[bench.__name__ + "_error"] = str(e)[:300]
     path = Path(__file__).resolve().parents[1] / "kernel_bench.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
