@@ -1,0 +1,134 @@
+"""FULL-MODEL numerical parity against the reference's own torch code.
+
+The strongest parity evidence possible without released weights: build the
+reference model (vendored torch, no torchvision needed), convert its random
+weights through tools/convert_torch_ckpt, and compare end-to-end outputs.
+
+Covered here: the complete DORN (deep-stem dilated ResNet-101 +
+FullImageEncoder + ASPP SceneUnderstanding + ordinal decode) — BASELINE
+config 4 and the bench headline model.
+"""
+
+import sys
+import types
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _reference_dorn(shape):
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from network import Dorn
+
+    args = Namespace(
+        input_size=shape, kernel_size=16, ord_num=8, alpha=0.001, beta=1.0,
+        discretization="SID", pretrained=0, pyramid=[4, 8, 12], batch_norm=0,
+        dropout=0.5,
+    )
+    return Dorn.DORN(args).eval()
+
+
+@pytest.mark.slow
+def test_full_dorn_parity():
+    from mono_depth_estimation_tpu.models.dorn import DORN
+    from tools.convert_torch_ckpt import convert_sequential
+
+    shape = (257, 353)  # the reference native size (its view() at
+    # Dorn.py:73 breaks on other shapes)
+    tm = _reference_dorn(shape)
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+
+    fm = DORN(ord_num=8, input_size=shape, kernel_size=16, pyramid=(4, 8, 12))
+    x = np.random.default_rng(0).normal(size=(1, *shape, 3)).astype(np.float32)
+    # eager init: jit would SORT the param dict keys and break the
+    # creation-order alignment the converter relies on
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # FullImageEncoder Linear consumes an NCHW flatten of the pooled
+    # (2048, h', w') features (Dorn.py:62-66): with input 257x353 the /8
+    # feature map is 33x45, avg-pooled (k16, s16, p8) to 3x3.
+    variables = convert_sequential(sd, template, dense_chw_hints={0: (2048, 3, 3)})
+
+    with torch.no_grad():
+        ref_prob, ref_label = tm(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
+        # DORN.forward naming is swapped; see models/dorn.py docstring —
+        # first output is actually the decoded label map
+        ref_label_np = ref_prob.numpy()  # (B, 1, H, W) decoded labels
+        ref_prob_np = ref_label.numpy()  # (B, K, H, W) P(l > k)
+
+    label, prob = fm.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x))
+    prob_np = np.transpose(np.asarray(prob), (0, 3, 1, 2))
+    np.testing.assert_allclose(prob_np, ref_prob_np, atol=2e-3)
+    # decoded labels: integer thresholding can differ only where P ~ 0.5
+    label_np = np.asarray(label)[..., 0]
+    agree = (label_np == ref_label_np[:, 0]).mean()
+    assert agree > 0.99, agree
+
+
+@pytest.mark.slow
+def test_full_sharpnet_parity():
+    """Complete SharpNet depth path (dilated-layer4 ResNet-50 encoder +
+    5-stage skip decoder) vs the reference's vendored torch implementation
+    with converted weights (network/SharpNet.py:146-277)."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    from network import SharpNet as RefSharpNet
+
+    from mono_depth_estimation_tpu.models.sharpnet import SharpNet
+    from tools.convert_torch_ckpt import convert_sequential
+
+    tm = RefSharpNet.SharpNet(
+        RefSharpNet.Bottleneck, [1, 1, 1, 1], [2, 2, 2, 2, 2], use_depth=True
+    ).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+
+    from mono_depth_estimation_tpu.models.encoders.resnet import ResNetConfig
+
+    # swap the preset for a 1-block-per-stage encoder (fast on CPU)
+    import mono_depth_estimation_tpu.models.encoders.resnet as rn
+
+    orig = rn.RESNET_PRESETS["sharpnet_resnet50"]
+    rn.RESNET_PRESETS["sharpnet_resnet50"] = ResNetConfig(
+        (1, 1, 1, 1),
+        stage_strides=(1, 2, 2, 1),
+        stage_dilations=(1, 1, 1, 2),
+        dilate_only_first=True,
+    )
+    try:
+        fm = SharpNet(use_depth=True)
+        x = np.random.default_rng(1).normal(size=(1, 64, 96, 3)).astype(np.float32)
+        template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = convert_sequential(sd, template)
+
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()).numpy()
+        out = fm.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x))
+        ours = np.transpose(np.asarray(out["depth"]), (0, 3, 1, 2))
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+    finally:
+        rn.RESNET_PRESETS["sharpnet_resnet50"] = orig

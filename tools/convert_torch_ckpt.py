@@ -225,9 +225,10 @@ def main(argv=None):
     jax.config.update("jax_platforms", "cpu")
     model = MODELS[args.method]()
     x = jnp.ones((1, args.height, args.width, 3), jnp.float32)
-    template = jax.jit(lambda r, xx: model.init(r, xx, train=False))(
-        jax.random.PRNGKey(0), x
-    )
+    # NOTE: init must stay EAGER — jit canonicalizes (sorts) dict keys in
+    # its output pytree, which destroys the module-creation order the
+    # sequential alignment relies on.
+    template = model.init(jax.random.PRNGKey(0), x, train=False)
     sd = load_torch_state_dict(args.ckpt)
     variables = convert_sequential(sd, template)
     Path(args.out).write_bytes(serialization.to_bytes(variables))
