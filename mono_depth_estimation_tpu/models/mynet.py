@@ -189,6 +189,10 @@ class MyModel(nn.Module):
         detail = Details(fc[1])(x1, x2, train=train)
         sharp = Sharpness(tuple(fc[2:5]))(x2, x3, dense, train=train)
 
+        # weighter params before the head — matches the torch registration
+        # order (MyNet.py:129-131) so the sequential weight converter aligns
+        a, b, c = Weighter(self.input_size)((glob, detail, sharp), train=train)
+
         # shared depth head (MyNet.py:131,145-147)
         head_conv = Conv(1, kernel=3, padding=1)
 
@@ -198,8 +202,6 @@ class MyModel(nn.Module):
         glob_d = get_depth(glob)
         detail_d = get_depth(detail)
         sharp_d = get_depth(sharp)
-
-        a, b, c = Weighter(self.input_size)((glob, detail, sharp), train=train)
         depth = (
             glob_d * a[:, None, None]
             + detail_d * b[:, None, None]

@@ -169,9 +169,11 @@ class MetricDepthModel(nn.Module):
             (math.ceil(h / 2.0**k), math.ceil(w / 2.0**k)) for k in range(5, 0, -1)
         ] + [(h, w)]
 
-        # top: 1x1 conv + BN over the (possibly multi-branch) top features
+        # top: 1x1 conv + BN over the (possibly multi-branch) top features.
+        # NOTE (parity): the reference passes 0.5 POSITIONALLY to
+        # BatchNorm2d (VNL.py:255-258) — that's eps=0.5, not momentum.
         t = Conv(self.dec_dim_in[0], kernel=1)(laterals[0])
-        t = BatchNorm(momentum=0.5)(t, train=train)
+        t = BatchNorm(epsilon=0.5)(t, train=train)
 
         for i in range(4):
             t = FCNTopdownBlock(self.dec_dim_out[i])(laterals[i + 1], t, train=train)

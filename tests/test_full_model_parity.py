@@ -132,3 +132,61 @@ def test_full_sharpnet_parity():
         np.testing.assert_allclose(ours, ref, atol=2e-3)
     finally:
         rn.RESNET_PRESETS["sharpnet_resnet50"] = orig
+
+
+@pytest.mark.slow
+def test_full_vnl_parity():
+    """Complete VNL (vendored ResNeXt-50 stride-16 body + ASPP top + FTB/AFA
+    topdown + 150-bin predict head) vs the reference with converted,
+    reordered weights (tools/convert_torch_ckpt.reorder_vnl_keys)."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    from network import VNL as RefVNL
+
+    from mono_depth_estimation_tpu.models.vnl import MetricDepthModel
+    from tools.convert_torch_ckpt import convert_sequential, reorder_vnl_keys
+
+    args = Namespace(
+        encoder="resnext50_32x4d_body_stride16", init_type="xavier",
+        pretrained=False, freeze_backbone=False,
+        enc_dim_in=[64, 256, 512, 1024, 2048],
+        enc_dim_out=[512, 256, 256, 256],
+        dec_dim_in=[512, 256, 256, 256, 256, 256],
+        dec_dim_out=[256, 256, 256, 256, 256],
+        dec_out_c=25, crop_size=(97, 97),
+    )
+    tm = RefVNL.MetricDepthModel(args).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+
+    fm = MetricDepthModel(
+        encoder="resnext50_32x4d_body_stride16",
+        enc_dim_out=(512, 256, 256, 256),
+        dec_dim_in=(512, 256, 256, 256, 256, 256),
+        dec_dim_out=(256, 256, 256, 256, 256),
+        dec_out_c=25, crop_size=(97, 97),
+    )
+    x = np.random.default_rng(2).normal(size=(1, 97, 97, 3)).astype(np.float32)
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    sd = reorder_vnl_keys(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    )
+    variables = convert_sequential(sd, template)
+
+    with torch.no_grad():
+        ref_logit, ref_softmax = tm(
+            torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+        )
+    logit, softmax = fm.apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(x)
+    )
+    ours = np.transpose(np.asarray(logit), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref_logit.numpy(), atol=5e-3)

@@ -26,7 +26,11 @@ def test_mesh_shapes():
 
 def test_collectives_under_shard_map():
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:
+        from jax import shard_map  # jax >= 0.4.35
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     from mono_depth_estimation_tpu.parallel.collectives import pmean, psum
     from mono_depth_estimation_tpu.parallel.mesh import make_mesh

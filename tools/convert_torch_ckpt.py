@@ -54,6 +54,46 @@ def load_torch_state_dict(path: str) -> dict:
     return out
 
 
+def reorder_vnl_keys(sd: dict) -> dict:
+    """Reorders a (vendored) VNL state_dict into this framework's module
+    call order.
+
+    Two reference quirks break plain stream alignment (network/VNL.py):
+    * `lateral` registers topdown_lateral_modules BEFORE the bottomup body
+      and its ASPP top (:97-121) while the forward (and our call order)
+      runs bottomup -> top -> laterals (:155-170);
+    * ASPP_block registers all convs then all BNs (:189-208) while the
+      dataflow (and our creation order) interleaves conv/BN per branch.
+    """
+
+    def aspp_sorted(keys):
+        order = ["aspp_conv1x1", "aspp_bn1x1", "aspp_conv3_1", "aspp_bn3_1",
+                 "aspp_conv3_2", "aspp_bn3_2", "aspp_conv3_3", "aspp_bn3_3",
+                 "globalpool_conv1x1", "globalpool_bn"]
+
+        def rank(k):
+            for i, frag in enumerate(order):
+                if frag in k:
+                    return i
+            return len(order)
+
+        return sorted(keys, key=lambda k: (rank(k), keys.index(k)))
+
+    keys = list(sd)
+    groups = {
+        "bottomup": [k for k in keys if ".bottomup." in k],
+        "top": aspp_sorted([k for k in keys if "bottomup_top" in k]),
+        "laterals": [k for k in keys if "topdown_lateral_modules" in k],
+    }
+    used = set(groups["bottomup"]) | set(groups["top"]) | set(groups["laterals"])
+    rest = [k for k in keys if k not in used]  # decoder order already matches
+    ordered = groups["bottomup"] + groups["top"] + groups["laterals"] + rest
+    return {k: sd[k] for k in ordered}
+
+
+REORDERERS = {"vnl": reorder_vnl_keys}
+
+
 def _torch_stream(sd: dict):
     """Yields (name, array, kind) skipping counters."""
     for name, arr in sd.items():
@@ -214,6 +254,8 @@ def main(argv=None):
     ap.add_argument("--out", required=True, help="output .msgpack path")
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--reorder", choices=list(REORDERERS), default=None,
+                    help="architecture-specific key reordering (e.g. vnl)")
     args = ap.parse_args(argv)
 
     import jax
@@ -230,6 +272,8 @@ def main(argv=None):
     # sequential alignment relies on.
     template = model.init(jax.random.PRNGKey(0), x, train=False)
     sd = load_torch_state_dict(args.ckpt)
+    if args.reorder:
+        sd = REORDERERS[args.reorder](sd)
     variables = convert_sequential(sd, template)
     Path(args.out).write_bytes(serialization.to_bytes(variables))
     print(f"Wrote {args.out}")
