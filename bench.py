@@ -156,6 +156,62 @@ def bench_jax_bts() -> float:
     return BATCH / float(np.median(times))
 
 
+def bench_train_step() -> float:
+    """Full BTS train step (loss+grads+AdamW update) images/sec, steady
+    state (in-graph scan over distinct random batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__ as g
+    from mono_depth_estimation_tpu.train.state import TrainState
+    from mono_depth_estimation_tpu.train.steps import make_train_step
+
+    b, h, w = 8, 128, 160
+    method = g._bts_method(batch_size=b)
+    import numpy as np
+
+    x = np.ones((b, h, w, 4), np.float32)
+    y = np.ones((b, h, w, 10), np.float32)
+    model, variables = method.init_variables(
+        jax.random.PRNGKey(0), (jnp.asarray(x), jnp.asarray(y))
+    )
+    optimizer = method.optimizer()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        opt_state=optimizer.init(variables["params"]),
+    )
+    train_step = make_train_step(method, model, optimizer, jnp.bfloat16)
+    n = 5
+
+    def run(state, key):
+        def body(carry, k):
+            st, _ = carry
+            kx, ky, ks = jax.random.split(k, 3)
+            xb = jax.random.uniform(kx, (b, h, w, 4), jnp.float32)
+            yb = jax.random.uniform(ky, (b, h, w, 10), jnp.float32)
+            st, loss, *_ = train_step(st, (xb, yb), ks)
+            return (st, loss), None
+
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jax.random.split(key, n)
+        )
+        return state, loss
+
+    run = jax.jit(run, donate_argnums=(0,))
+    state, loss = run(state, jax.random.PRNGKey(1))
+    _ = float(loss)  # compile+sync
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, loss = run(state, jax.random.PRNGKey(2 + i))
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    return n * b / float(np.median(times))
+
+
 def bench_torch_cpu_dorn() -> float:
     """The reference implementation itself (vendored torch) on CPU."""
     import types
@@ -221,6 +277,10 @@ def main():
             pass
         try:
             extra["bts_dn161_512_eval_images_per_sec"] = round(bench_jax_bts(), 2)
+        except Exception:
+            pass
+        try:
+            extra["bts_train_step_images_per_sec"] = round(bench_train_step(), 2)
         except Exception:
             pass
         if extra:
