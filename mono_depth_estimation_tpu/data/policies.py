@@ -51,17 +51,28 @@ def _rgb_to_pil(rgb) -> Image.Image:
 
 
 def _depth_to_pil(d) -> Image.Image:
-    """ToPILImage parity: float HW -> 'F'; float HWC (C<=4) in [0,1] ->
-    quantized uint8 'LA'/'RGB'/'RGBA'; uint8 passes through."""
+    """ToPILImage parity. Shape convention (matches the reference's
+    type-dependent behavior — numpy metric depths go through mode 'F'
+    unscaled, torch [0,1] tensors get mul(255).byte() quantization):
+
+      (H, W) float        -> 'F' (metric depth; the trailing /255 of the
+                             policies then yields meters/255, the
+                             reference quirk)
+      (H, W, 1) float     -> quantized uint8 'L' (stdepth [0,1] planes;
+                             the trailing /255 restores [0,1] at 8 bits)
+      (H, W, 2..4) float  -> quantized 'LA'/'RGB'/'RGBA'
+      uint8               -> passthrough
+    """
     if isinstance(d, Image.Image):
         return d
     d = np.asarray(d)
-    if d.ndim == 3 and d.shape[-1] == 1:
-        d = d[..., 0]
     if d.ndim == 2:
         if d.dtype == np.uint8:
             return Image.fromarray(d, mode="L")
         return Image.fromarray(d.astype(np.float32), mode="F")
+    if d.ndim == 3 and d.shape[-1] == 1:
+        q = np.clip(np.asarray(d[..., 0], np.float32) * 255.0, 0, 255)
+        return Image.fromarray(q.astype(np.uint8), mode="L")
     # multi-channel float in [0,1] -> 8-bit (reference ToPILImage on tensors)
     q = np.clip(np.asarray(d, np.float32) * 255.0, 0, 255).astype(np.uint8)
     mode = {2: "LA", 3: "RGB", 4: "RGBA"}[q.shape[-1]]
@@ -150,8 +161,8 @@ def default_train_preprocess(rgb, depth, *, resize, output_size, rng):
     """BaseModule.train_preprocess (base_module.py:234-265)."""
     depths, _ = _as_depth_list(depth)
     s = rng.uniform(1, 1.5)
-    depths = [np.asarray(d, np.float32) / s if np.asarray(d).ndim == 2
-              else d for d in depths]
+    # the reference divides EVERY gt plane by s (base_module.py:235-236)
+    depths = [np.asarray(d, np.float32) / s for d in depths]
     rgb = _rgb_to_pil(rgb)
     depths = [_depth_to_pil(d) for d in depths]
     rgb = resize_shorter(rgb, resize)

@@ -122,7 +122,9 @@ class SemiTransparentDepthDataset(BaseDataset):
         depth = _chw_to_hwc(item[self.depth_method]).astype(np.float32)
         if self.set_bg_depth:
             depth[depth == 0.0] = 1.0
-        return rgb, depth[..., 0]
+        # (H, W, 1): unit-range plane -> quantize-mode in the policies
+        # (the reference's torch tensors go through ToPILImage mul(255))
+        return rgb, depth[..., :1]
 
     def __len__(self):
         return len(self.reader)

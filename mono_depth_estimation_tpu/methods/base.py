@@ -46,8 +46,22 @@ class Method:
 
     def policy_fns(self):
         """(train, val, test) per-sample transforms bound to this method's
-        geometry. Each takes (rgb, depth, rng)."""
+        geometry. Each takes (rgb, depth, rng).
+
+        Train-time augmentation uses the cv2 fast path when available
+        (data/policies_fast.py, ~6x per-sample; set MDE_FAST_AUG=0 for the
+        literal PIL pipeline). Val/test always use the PIL path — those
+        transforms define eval parity."""
+        import os
+
+        from mono_depth_estimation_tpu.data.policies_fast import FAST_TRAIN
+
         train_p, val_p, test_p = POLICIES[self.POLICY]
+        if (
+            os.environ.get("MDE_FAST_AUG", "1") != "0"
+            and self.POLICY in FAST_TRAIN
+        ):
+            train_p = FAST_TRAIN[self.POLICY]
         out, rs = self.output_size(), self.resize()
 
         def bind(fn):
