@@ -71,6 +71,11 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
     parser.add_argument("--worker", default=8, type=int)
     parser.add_argument("--find_learning_rate", action="store_true")
     parser.add_argument(
+        "--save_visualizations", action="store_true",
+        help="write val-mosaic figures to runs/<name>/viz (the reference's "
+        "W&B visualization cadence, to disk)",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="rematerialize the forward in backward (trade FLOPs for HBM)",
     )

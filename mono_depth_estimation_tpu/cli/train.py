@@ -88,6 +88,7 @@ def main(argv=None):
         overfit_batches=1 if args.globals.overfit else 0,
         precision=args.globals.precision,
         remat=getattr(args.globals, "remat", False),
+        save_visualizations=getattr(args.globals, "save_visualizations", False),
         seed=args.globals.seed,
         run_name=ckpt_name,
         worker=args.globals.worker,
