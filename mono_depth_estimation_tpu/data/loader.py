@@ -66,7 +66,7 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _sample(self, index: int):
+    def _sample(self, index: int, epoch: int):
         if self.transform is None:
             return self.dataset[index]
         rgb, depth = (
@@ -75,16 +75,21 @@ class Loader:
             else self.dataset[index]
         )
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, self.epoch, index])
+            np.random.SeedSequence([self.seed, epoch, index])
         )
         return self.transform(rgb, depth, rng)
 
     def __iter__(self):
         n = len(self.dataset)
+        # capture-and-advance at iteration START: abandoned iterators (early
+        # stop, fast-dev-run, partial epochs) must still see fresh shuffles
+        # next epoch
+        epoch = self.epoch
+        self.epoch += 1
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch])
+                np.random.SeedSequence([self.seed, epoch])
             ).shuffle(order)
 
         bs = self.batch_size
@@ -101,9 +106,11 @@ class Loader:
                 if valid < bs:  # pad with cyclic repeats of the epoch order
                     idx = np.concatenate([idx, np.resize(order, bs - valid)])
                 if pool is not None:
-                    samples = list(pool.map(self._sample, idx))
+                    samples = list(
+                        pool.map(lambda i: self._sample(i, epoch), idx)
+                    )
                 else:
-                    samples = [self._sample(i) for i in idx]
+                    samples = [self._sample(i, epoch) for i in idx]
                 batch = _stack(samples)
                 mask = np.zeros(bs, bool)
                 mask[:valid] = True
@@ -111,4 +118,3 @@ class Loader:
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)
-        self.epoch += 1

@@ -162,3 +162,13 @@ def test_all_policies_registered():
     assert set(POLICIES) == {
         "default", "laina", "bts", "midas", "vnl", "sharpnet", "my",
     }
+
+
+def test_loader_reshuffles_after_abandoned_epoch():
+    """Abandoned iterators (early stop / fast-dev-run) must not replay the
+    same shuffle next epoch."""
+    ds = SyntheticDepthDataset(split="train", n_images=16, image_size=(16, 16))
+    loader = Loader(ds, batch_size=4, shuffle=True, num_workers=0)
+    first = next(iter(loader))  # abandon mid-epoch
+    second = next(iter(loader))
+    assert not np.array_equal(first[0][0], second[0][0])
