@@ -30,15 +30,24 @@ class MidasMethod(Method):
         return 400
 
     def build_model(self):
-        return MidasNet(features=int(self.method.features))
+        # out_channels defaults to 1: the reference trains either the hub
+        # MiDaS (1-channel) or its scratch MidasNet whose 7-channel stdepth
+        # head is incompatible with its own MidasLoss (criteria.py:321-328
+        # broadcasts (B,7,H,W) against (B,H,W) targets). The 7-channel head
+        # remains available via --out-channels for the stdepth variant.
+        return MidasNet(
+            features=int(self.method.features),
+            out_channels=int(getattr(self.method, "out_channels", 1)),
+        )
 
     def _criterion(self, y_hat, y):
         """Loss switch (modules/midas.py:29-37)."""
         loss_name = self.method.loss
+        trim = float(getattr(self.method, "trim", 0.2))
         if loss_name in ["ssil1", "ssimse", "l1", "mse", "trim"]:
             return midas_loss(
                 y_hat, y, alpha=self.method.alpha, loss=loss_name,
-                reduction=self.method.reduction,
+                reduction=self.method.reduction, trim=trim,
             )
         if loss_name == "eigen":
             return masked_depth_loss(y_hat, y)
@@ -46,7 +55,8 @@ class MidasMethod(Method):
             return masked_l1_loss(y_hat, y)
         if loss_name == "ssitrim":
             return trimmed_procrustes_loss(
-                y_hat, y, alpha=self.method.alpha, reduction=self.method.reduction
+                y_hat, y, alpha=self.method.alpha,
+                reduction=self.method.reduction, trim=trim,
             )
         raise ValueError(f"unknown midas loss: {loss_name}")
 
@@ -103,9 +113,15 @@ class MidasMethod(Method):
         parser.add_argument("--lr_patience", default=2, type=int)
         parser.add_argument("--pretrained", default=0, type=int)
         parser.add_argument("--features", default=256, type=int)
+        parser.add_argument("--out-channels", default=1, type=int)
         parser.add_argument("--loss", default="ssitrim", type=str,
                             help="[ssitrim, ssimse, ssil1, eigen, laina]")
         parser.add_argument("--data_augmentation", default="midas", type=str)
         parser.add_argument("--alpha", default=0.5, type=float)
         parser.add_argument("--reduction", default="batch-based", type=str)
+        parser.add_argument(
+            "--trim", default=0.2, type=float,
+            help="trimmed-MAE fraction; 0.0 reproduces the reference's "
+            "actual (buggy, untrimmed) behavior — see losses/midas.py",
+        )
         return parser

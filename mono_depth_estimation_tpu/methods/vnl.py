@@ -78,7 +78,9 @@ class VnlMethod(Method):
         raise ValueError("Unknown prediction method")
 
     def train_loss(self, model, variables, batch, rng):
-        logits, cls = model.apply(variables, batch["A"], train=True)
+        (logits, cls), mut = model.apply(
+            variables, batch["A"], train=True, mutable=["batch_stats"]
+        )
         gt_depth = batch["B"][..., 0]
         gt_bins = self.depth_to_bins(gt_depth)
         loss = model_loss(
@@ -93,7 +95,8 @@ class VnlMethod(Method):
         )
         y_hat = self._predicted_depth(logits, cls)
         return loss, {
-            "batch_stats": None, "y_hat": y_hat, "y": batch["B"], "logs": {},
+            "batch_stats": mut.get("batch_stats"), "y_hat": y_hat,
+            "y": batch["B"], "logs": {},
         }
 
     def val_outputs(self, model, variables, batch):

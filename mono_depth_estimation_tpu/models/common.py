@@ -132,12 +132,11 @@ class ConvTranspose(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features),
-            x.dtype,
         )
         pad = (k - 1 - p, k - 1 - p + op)
         y = jax.lax.conv_general_dilated(
             x,
-            w,
+            w.astype(x.dtype),
             window_strides=(1, 1),
             padding=[pad, pad],
             lhs_dilation=(s, s),
@@ -145,9 +144,9 @@ class ConvTranspose(nn.Module):
         )
         if self.use_bias:
             b = self.param(
-                "bias", nn.initializers.zeros, (self.features,), x.dtype
+                "bias", nn.initializers.zeros, (self.features,)
             )
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 

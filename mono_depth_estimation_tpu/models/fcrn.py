@@ -52,9 +52,8 @@ class UnpoolConv(nn.Module):
             "kernel",
             nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, x.shape[-1], self.out_features),
-            x.dtype,
         )
-        return upproj_conv(x, w)
+        return upproj_conv(x, w.astype(x.dtype))
 
 
 class UpConvModule(nn.Module):

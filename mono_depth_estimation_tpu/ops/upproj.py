@@ -22,7 +22,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mono_depth_estimation_tpu.models.common import zero_unpool
+
+def zero_unpool(x: jax.Array, stride: int = 2) -> jax.Array:
+    """2x2 zero-stuffing upsample (local copy — models.common imports this
+    module's consumer, so importing from there would be circular)."""
+    b, h, w, c = x.shape
+    out = jnp.zeros((b, h, stride, w, stride, c), x.dtype)
+    out = out.at[:, :, 0, :, 0, :].set(x)
+    return out.reshape(b, h * stride, w * stride, c)
 
 
 def _conv(x, w, pad):

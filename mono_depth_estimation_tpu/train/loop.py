@@ -76,7 +76,10 @@ class Trainer:
         self.n_devices = int(np.prod(self.mesh.devices.shape))
         self.compute_dtype = jnp.bfloat16 if precision == 16 else None
         self.remat = remat
-        self.eval_batch_size = eval_batch_size or self.n_devices
+        # metrics are per-sample (masked on host), so a bigger eval batch
+        # changes nothing numerically — only amortizes dispatch overhead
+        # (the reference uses batch_size=1, base_module.py:61-78)
+        self.eval_batch_size = eval_batch_size or 8 * self.n_devices
         self.run_name = run_name
         self.ckpt = CheckpointManager(Path(checkpoint_root) / run_name)
         self.logger = logger or RunLogger(Path("runs") / run_name)
@@ -282,9 +285,12 @@ class Trainer:
                 run_val = ((b + 1) % val_every == 0) or (b + 1 == n_train)
                 if run_val or self.fast_dev_run:
                     val_metrics = self.validate(val_loader)
-                    val_loss = val_metrics.get(
-                        "val_val_loss", val_metrics.get("val_loss", float("nan"))
-                    )
+                    val_loss = val_metrics.get("val_loss", float("nan"))
+                    if math.isnan(val_loss) and "val_delta1" in val_metrics:
+                        # methods that log no val_loss (e.g. VNL, matching
+                        # the reference) still get best-checkpointing via a
+                        # -delta1 surrogate (lower = better, like a loss)
+                        val_loss = -float(val_metrics["val_delta1"])
                     self.logger.log(val_metrics, step=self.global_step)
                     if not math.isnan(val_loss):
                         self.ckpt.save(self.state, epoch, val_loss)

@@ -133,3 +133,29 @@ def test_mynet_shape():
     out = _init_apply(m, jnp.ones((1, 64, 64, 3)))
     assert out.shape == (1, 64, 64, 1)
     assert float(out.max()) <= 10.0 / 3.0 * 1.0 + 1e-6
+
+
+@pytest.mark.slow
+def test_dorn_overlapping_window():
+    """Multi-crop averaged inference (modules/dorn.py:109-151): runs under
+    jit, preserves shape, and stays within the SID depth range."""
+    import argparse
+
+    from mono_depth_estimation_tpu.methods.dorn import DornMethod
+
+    g = argparse.Namespace(metrics=["mae"], worker=0, ds_name="nyu",
+                           depth_method=None)
+    m = argparse.Namespace(
+        name="dorn", learning_rate=1e-4, batch_size=1, ckpt=None,
+        ord_num=12, alpha=0.02, beta=10.0, discretization="SID",
+        input_size=(33, 41), kernel_size=16, pyramid=[4, 8, 12],
+        dropout=0.5, weight_decay=5e-4, lr_patience=2,
+    )
+    method = DornMethod(g, m)
+    x = jnp.ones((1, 33, 41, 3))
+    model, variables = method.init_variables(KEY, (x, jnp.ones((1, 33, 41, 1))))
+    y = jax.jit(
+        lambda v, x, r: method.overlapping_window_method(model, v, x, r, crops=4)
+    )(variables, x, jax.random.PRNGKey(3))
+    assert y.shape == (1, 33, 41, 1)
+    assert float(y.min()) >= 0.0199 and float(y.max()) <= 10.01 * 1.5
