@@ -110,6 +110,42 @@ class VnlMethod(Method):
         y_hat = y_hat * ratio  # pred/ratio in ref == *ratio here (1/r stored)
         return {"pairs": [("", y_hat, batch["B"])], "y_hat": y_hat}
 
+    # decoder stage -> top-level flax module names, in the reference's
+    # freezing order [top, fcn1..5, predict] (modules/vnl.py:167-179)
+    _DECODER_STAGES = (
+        ("Conv_0", "BatchNorm_0"),        # top
+        ("FCNTopdownBlock_0",),           # topdown_fcn1
+        ("FCNTopdownBlock_1",),
+        ("FCNTopdownBlock_2",),
+        ("FCNTopdownBlock_3",),
+        ("FTBBlock_4",),                  # topdown_fcn5
+        ("Conv_1",),                      # topdown_predict
+    )
+
+    def frozen_predicate(self):
+        """--finetune n in [-1..-5]: freeze the encoder (incl. laterals and
+        the ASPP top, which live in the reference's encoder_modules) plus
+        all decoder stages except the last |n| (modules/vnl.py:167-179)."""
+        base = super().frozen_predicate()
+        finetune = int(getattr(self.method, "finetune", 0))
+        if finetune not in (-1, -2, -3, -4, -5):
+            return base
+
+        frozen_stage_names = set()
+        for stage in self._DECODER_STAGES[:finetune]:
+            frozen_stage_names.update(stage)
+        # encoder_modules in the reference = bottomup + ASPP + lateral FTBs
+        encoder_tops = {"ASPPBlock_0", "GlobalPoolBlock_0",
+                        "FTBBlock_0", "FTBBlock_1", "FTBBlock_2", "FTBBlock_3"}
+
+        def pred(path):
+            top = str(path[0]) if path else ""
+            if "Encoder" in top or top in encoder_tops:
+                return True
+            return top in frozen_stage_names
+
+        return pred
+
     def optimizer(self):
         # SGD momentum 0.9; encoder x1, decoder x scale_decoder_lr
         # (modules/vnl.py:289-326)

@@ -76,3 +76,31 @@ def test_freeze_encoder_zeroes_updates():
         np.asarray(new["BtsDecoder_0"]["Conv_0"]["kernel"]),
         np.asarray(params["BtsDecoder_0"]["Conv_0"]["kernel"]),
     )
+
+
+def test_vnl_finetune_freezing():
+    """--finetune -2: everything frozen except fcn5 + predict
+    (modules/vnl.py:167-179)."""
+    from mono_depth_estimation_tpu.methods.vnl import VnlMethod
+
+    g = argparse.Namespace(metrics=["mae"], worker=0, ds_name="", depth_method=None)
+    m = argparse.Namespace(
+        name="vnl", learning_rate=1e-4, batch_size=2, ckpt=None, lr_patience=2,
+        encoder="resnext50_32x4d_body_stride16",
+        enc_dim_in=[64, 256, 512, 1024, 2048], enc_dim_out=[512, 256, 256, 256],
+        dec_dim_in=[512, 256, 256, 256, 256, 256],
+        dec_dim_out=[256, 256, 256, 256, 256], dec_out_c=10,
+        crop_size=(49, 49), scale_decoder_lr=0.1, weight_decay=5e-4,
+        depth_min=0.01, depth_max=1.1, focal_x=519.0, focal_y=519.0,
+        diff_loss_weight=6, prediction_method="classification",
+        init_type="xavier", pretrained=0, freeze_backbone=False,
+        finetune=-2, freeze_encoder=False,
+    )
+    pred = VnlMethod(g, m).frozen_predicate()
+    assert pred(("ResNetEncoder_0", "Conv_0", "kernel"))
+    assert pred(("ASPPBlock_0", "Conv_0", "kernel"))
+    assert pred(("FTBBlock_1", "Conv_0", "kernel"))        # lateral
+    assert pred(("Conv_0", "kernel"))                       # decoder top
+    assert pred(("FCNTopdownBlock_3", "FTBBlock_0", "Conv_0", "kernel"))
+    assert not pred(("FTBBlock_4", "Conv_0", "kernel"))     # fcn5 trains
+    assert not pred(("Conv_1", "kernel"))                   # predict trains
