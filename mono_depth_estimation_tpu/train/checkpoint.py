@@ -24,7 +24,9 @@ _CKPT_RE = re.compile(r"epoch=(\d+)-val_loss=([-\d.einf]+)\.ckpt")
 
 
 def ckpt_name(epoch: int, val_loss: float) -> str:
-    return f"epoch={epoch}-val_loss={val_loss:.4f}.ckpt"
+    # 6 significant decimals: at 4, close val_losses collide in the name
+    # and the keep-top-k prune can't order them
+    return f"epoch={epoch}-val_loss={val_loss:.6f}.ckpt"
 
 
 def parse_ckpt_name(name: str):
