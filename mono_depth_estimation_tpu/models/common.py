@@ -13,7 +13,7 @@ Design notes (TPU-first, not a translation of the reference):
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable
 
 import jax
 import jax.numpy as jnp
@@ -179,12 +179,6 @@ def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
     return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
 
 
-class FeaturePyramid(tuple):
-    """Tuple of encoder feature maps, coarsest last; named for readability."""
-
-    __slots__ = ()
-
-
 def upsample2x_nearest(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x upsample, the cheap TPU-friendly path."""
     b, h, w, c = x.shape
@@ -205,9 +199,3 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
     x = x.reshape(b, h, w, c, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * r, w * r, c)
-
-
-def sequential(blocks: Sequence[Callable], x: jax.Array, **kw) -> jax.Array:
-    for blk in blocks:
-        x = blk(x, **kw)
-    return x

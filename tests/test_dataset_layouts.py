@@ -1,7 +1,6 @@
 """On-disk layout tests: materialize tiny fake dataset trees matching each
 family's real structure and drive the loaders end-to-end."""
 
-import json
 
 import numpy as np
 import pytest
