@@ -97,7 +97,20 @@ class Method:
         # jit the init: unjitted flax init dispatches each op eagerly —
         # thousands of device round trips on a remote/tunneled TPU.
         init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False))
-        return model, init_fn(rng, x)
+        variables = init_fn(rng, x)
+        from mono_depth_estimation_tpu.train.pretrained import (
+            apply_method_pretrained,
+        )
+
+        variables = apply_method_pretrained(
+            self, model, variables, example_shape=(1,) + tuple(x.shape[1:])
+        )
+        return model, variables
+
+    def pretrained_source(self) -> str | None:
+        """Named pretrained-encoder source for --pretrained (the download the
+        reference performs, resolved here to a converted local file)."""
+        return None
 
     def _model_input(self, batch):
         """Extracts the network input from a batch pytree."""
@@ -181,6 +194,12 @@ class Method:
         parser.add_argument("--learning_rate", default=learning_rate, type=float)
         parser.add_argument("--batch_size", default=batch_size, type=int)
         parser.add_argument("--ckpt", default=ckpt, type=str)
+        parser.add_argument(
+            "--torch_weights", default=None, type=str,
+            help="converted .msgpack (tools/convert_torch_ckpt.py) or raw "
+                 "torch .ckpt/.pth to initialize from (full model or "
+                 "encoder-only; replaces the reference's weight downloads)",
+        )
         parser.add_argument("--freeze_encoder", action="store_true")
         parser.add_argument("--depth-loss-weight", type=float, default=10.0)
         parser.add_argument("--comp-loss-weight", type=float, default=2.0)

@@ -44,6 +44,10 @@ class DornMethod(Method):
             dropout_prob=float(self.method.dropout),
         )
 
+    def pretrained_source(self):
+        # SceneParsing ResNet-101 (network/Dorn.py:179-228)
+        return "dorn_sceneparsing"
+
     def _forward(self, model, variables, x, train, rng=None, mutable=False):
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
         if train and mutable:

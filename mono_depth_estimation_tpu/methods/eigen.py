@@ -23,6 +23,10 @@ class EigenMethod(Method):
     def build_model(self):
         return Eigen()
 
+    def pretrained_source(self):
+        # torchvision vgg19_bn ImageNet features (network/Eigen.py:74)
+        return "vgg19_bn"
+
     def train_loss(self, model, variables, batch, rng):
         x, y = batch
         y_hat, new_bs = self.apply(model, variables, x, train=True, mutable=True)

@@ -40,6 +40,10 @@ class MidasMethod(Method):
             out_channels=int(getattr(self.method, "out_channels", 1)),
         )
 
+    def pretrained_source(self):
+        # hub ResNeXt101-32x8d-WSL encoder weights (modules/midas.py:16-27)
+        return "resnext101_32x8d_wsl"
+
     def _criterion(self, y_hat, y):
         """Loss switch (modules/midas.py:29-37)."""
         loss_name = self.method.loss

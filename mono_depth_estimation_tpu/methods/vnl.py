@@ -53,6 +53,10 @@ class VnlMethod(Method):
     def _model_input(self, batch):
         return batch["A"]
 
+    def pretrained_source(self):
+        # ImageNet weights for the configured encoder (network/VNL.py:21-95)
+        return str(self.method.encoder)
+
     # -- bin <-> depth (modules/vnl.py:202-230)
     def depth_to_bins(self, depth):
         c = int(self.method.dec_out_c)

@@ -1,28 +1,18 @@
 #!/usr/bin/env python
-"""PyTorch checkpoint -> Flax variables converter.
+"""PyTorch checkpoint -> Flax variables converter (CLI).
 
-Converts reference checkpoints (.ckpt Lightning files or raw state_dicts;
-SURVEY.md §5 'Checkpoint / resume') into this framework's variable pytrees
-so released reference weights evaluate at parity (hard part #1, SURVEY §7).
+The conversion core lives in mono_depth_estimation_tpu/utils/torch_convert.py
+(see its docstring for the tensor-kind rules). This front-end converts
 
-Strategy: both frameworks traverse the same architecture in construction
-order, so the converter aligns the torch state_dict stream with the
-flattened Flax variable stream and converts each tensor by kind:
+* full models:     --method bts --ckpt lightning.ckpt --out bts.msgpack
+* encoders only:   --encoder dorn_sceneparsing --ckpt resnet101.pth \
+                       --out weights/dorn_sceneparsing.msgpack
 
-  Conv2d weight   (O, I, kH, kW) -> (kH, kW, I, O); grouped convs
-                  (O, I/g, kH, kW) -> (kH, kW, I/g, O)
-  ConvTranspose2d (I, O, kH, kW) -> flip(kH, kW) then (kH, kW, I, O)
-                  (our ConvTranspose is an lhs-dilated conv, see
-                  models/common.py)
-  Linear weight   (out, in) -> (in, out); when the torch input was an
-                  NCHW flatten, columns are permuted CHW -> HWC via the
-                  recorded feature shape ('dense_chw' hints)
-  BatchNorm       weight/bias -> params.scale/bias;
-                  running_mean/var -> batch_stats.mean/var
-  num_batches_tracked          -> dropped
-
-Alignment is strict: every pairing is shape-checked after conversion, and
-leftover tensors on either side are an error.
+Encoder-only outputs are what ``--pretrained 1`` resolves at train time
+(train/pretrained.py) — the local stand-in for the reference's weight
+downloads (network/Dorn.py:179-228, network/FCRN.py:297-347, etc.).
+ImageNet classifier heads the encoder lacks are dropped via --skip-prefixes
+(default: 'fc.' 'classifier.').
 """
 
 from __future__ import annotations
@@ -31,252 +21,90 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
-
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-
-def load_torch_state_dict(path: str) -> dict:
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
-    if isinstance(obj, dict) and "model" in obj and hasattr(
-        next(iter(obj.values())), "shape"
-    ) is False:
-        obj = obj["model"]
-    # strip the Lightning "model." prefix
-    out = {}
-    for k, v in obj.items():
-        k = k[len("model."):] if k.startswith("model.") else k
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-    return out
+from mono_depth_estimation_tpu.utils.torch_convert import (  # noqa: E402,F401
+    REORDERERS,
+    classify_flax_leaf,
+    convert_sequential,
+    convert_tensor,
+    load_torch_state_dict,
+    reorder_vnl_keys,
+)
 
 
-def reorder_vnl_keys(sd: dict) -> dict:
-    """Reorders a (vendored) VNL state_dict into this framework's module
-    call order.
-
-    Two reference quirks break plain stream alignment (network/VNL.py):
-    * `lateral` registers topdown_lateral_modules BEFORE the bottomup body
-      and its ASPP top (:97-121) while the forward (and our call order)
-      runs bottomup -> top -> laterals (:155-170);
-    * ASPP_block registers all convs then all BNs (:189-208) while the
-      dataflow (and our creation order) interleaves conv/BN per branch.
-    """
-
-    def aspp_sorted(keys):
-        order = ["aspp_conv1x1", "aspp_bn1x1", "aspp_conv3_1", "aspp_bn3_1",
-                 "aspp_conv3_2", "aspp_bn3_2", "aspp_conv3_3", "aspp_bn3_3",
-                 "globalpool_conv1x1", "globalpool_bn"]
-
-        def rank(k):
-            for i, frag in enumerate(order):
-                if frag in k:
-                    return i
-            return len(order)
-
-        return sorted(keys, key=lambda k: (rank(k), keys.index(k)))
-
-    keys = list(sd)
-    groups = {
-        "bottomup": [k for k in keys if ".bottomup." in k],
-        "top": aspp_sorted([k for k in keys if "bottomup_top" in k]),
-        "laterals": [k for k in keys if "topdown_lateral_modules" in k],
-    }
-    used = set(groups["bottomup"]) | set(groups["top"]) | set(groups["laterals"])
-    rest = [k for k in keys if k not in used]  # decoder order already matches
-    ordered = groups["bottomup"] + groups["top"] + groups["laterals"] + rest
-    return {k: sd[k] for k in ordered}
-
-
-REORDERERS = {"vnl": reorder_vnl_keys}
-
-
-def _torch_stream(sd: dict):
-    """Yields (name, array, kind) skipping counters."""
-    for name, arr in sd.items():
-        if name.endswith("num_batches_tracked"):
-            continue
-        yield name, np.asarray(arr)
-
-
-def classify_flax_leaf(path: tuple[str, ...], shape) -> str:
-    leaf = path[-1]
-    if leaf == "kernel" and len(shape) == 4:
-        return "convT" if any("ConvTranspose" in p for p in path) else "conv"
-    if leaf == "kernel" and len(shape) == 2:
-        return "dense"
-    if leaf in ("scale",):
-        return "bn_scale"
-    if leaf in ("bias",):
-        return "bias"
-    if leaf in ("mean",):
-        return "bn_mean"
-    if leaf in ("var",):
-        return "bn_var"
-    return "other"
-
-
-def convert_tensor(kind: str, torch_arr: np.ndarray, target_shape,
-                   dense_chw: tuple[int, int, int] | None = None) -> np.ndarray:
-    if kind == "conv":
-        out = np.transpose(torch_arr, (2, 3, 1, 0))
-    elif kind == "convT":
-        out = np.transpose(torch_arr, (2, 3, 0, 1))[::-1, ::-1].copy()
-    elif kind == "dense":
-        w = torch_arr
-        if dense_chw is not None:
-            c, h, wd = dense_chw
-            idx = (
-                np.arange(c * h * wd)
-                .reshape(c, h, wd)
-                .transpose(1, 2, 0)
-                .reshape(-1)
-            )
-            w = w[:, idx]
-        out = w.T
-    else:
-        out = torch_arr
-    assert tuple(out.shape) == tuple(target_shape), (
-        kind, torch_arr.shape, out.shape, target_shape
+def build_encoder(name: str):
+    """Encoder template model + a representative input shape for init."""
+    from mono_depth_estimation_tpu.models.encoders.densenet import (
+        DENSENET_PRESETS,
+        DenseNetEncoder,
     )
-    return out
-
-
-def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
-    """Aligns the torch stream with the flax variable stream in order.
-
-    Args:
-        state_dict: torch name -> ndarray.
-        variables: flax {'params': ..., 'batch_stats': ...} template (from
-            model.init) giving shapes and traversal order.
-        dense_chw_hints: {occurrence_index: (C, H, W)} for Linear layers fed
-            by an NCHW flatten.
-
-    Returns a new variables pytree with converted weights.
-    """
-    import jax
-    from flax import traverse_util
-
-    params_flat = traverse_util.flatten_dict(variables["params"])
-    bs_flat = (
-        traverse_util.flatten_dict(variables["batch_stats"])
-        if "batch_stats" in variables
-        else {}
+    from mono_depth_estimation_tpu.models.encoders.resnet import (
+        RESNET_PRESETS,
+        ResNetEncoder,
     )
 
-    # flax traversal: interleave params and their batch_stats by module path.
-    # Build per-module grouping in insertion order of params_flat.
-    torch_items = list(_torch_stream(state_dict))
-    ti = 0
-    dense_seen = 0
-    new_params, new_bs = {}, {}
-    dense_chw_hints = dense_chw_hints or {}
+    if name == "dorn_sceneparsing":
+        return ResNetEncoder(config=RESNET_PRESETS["dorn_resnet101"])
+    if name in RESNET_PRESETS:
+        return ResNetEncoder(config=RESNET_PRESETS[name])
+    if name in DENSENET_PRESETS:
+        return DenseNetEncoder(config=DENSENET_PRESETS[name])
+    if name == "vgg19_bn":
+        from mono_depth_estimation_tpu.models.encoders.vgg import VGG19BNFeatures
 
-    def next_torch(expect_dims=None, name_has=None):
-        nonlocal ti
-        while ti < len(torch_items):
-            name, arr = torch_items[ti]
-            ti += 1
-            if expect_dims is not None and arr.ndim not in expect_dims:
-                raise ValueError(
-                    f"stream misalignment at torch '{name}' "
-                    f"(ndim {arr.ndim}, expected {expect_dims})"
-                )
-            return name, arr
-        raise ValueError("torch stream exhausted")
-
-    for path, leaf in params_flat.items():
-        kind = classify_flax_leaf(path, leaf.shape)
-        if kind in ("conv", "convT"):
-            name, arr = next_torch(expect_dims=(4,))
-            new_params[path] = convert_tensor(kind, arr, leaf.shape)
-        elif kind == "dense":
-            name, arr = next_torch(expect_dims=(2,))
-            hint = dense_chw_hints.get(dense_seen)
-            dense_seen += 1
-            new_params[path] = convert_tensor("dense", arr, leaf.shape, hint)
-        elif kind == "bn_scale":
-            name, arr = next_torch(expect_dims=(1,))
-            assert "weight" in name, name
-            new_params[path] = convert_tensor("bn_scale", arr, leaf.shape)
-            # bias, running_mean, running_var follow in torch BN order
-            bias_name, bias = next_torch(expect_dims=(1,))
-            new_params[path[:-1] + ("bias",)] = bias
-            mean_name, mean = next_torch(expect_dims=(1,))
-            var_name, var = next_torch(expect_dims=(1,))
-            # find the matching batch_stats path (same module prefix)
-            bs_prefix = _bn_stats_path(path, bs_flat)
-            if bs_prefix is not None:
-                new_bs[bs_prefix + ("mean",)] = mean
-                new_bs[bs_prefix + ("var",)] = var
-        elif kind == "bias":
-            if path in new_params:
-                continue  # BN bias already consumed
-            name, arr = next_torch(expect_dims=(1,))
-            new_params[path] = arr
-        else:
-            raise ValueError(f"unhandled flax leaf {path} {leaf.shape}")
-
-    missing = [p for p in params_flat if p not in new_params]
-    if missing:
-        raise ValueError(f"unconverted flax params: {missing[:5]}")
-    leftovers = torch_items[ti:]
-    if leftovers:
-        raise ValueError(
-            f"leftover torch tensors: {[n for n, _ in leftovers[:5]]}"
-        )
-
-    out = {"params": traverse_util.unflatten_dict(new_params)}
-    if bs_flat:
-        merged = dict(bs_flat)
-        merged.update(new_bs)
-        out["batch_stats"] = traverse_util.unflatten_dict(merged)
-    out = jax.tree.map(lambda t, ref=None: np.asarray(t), out)
-    return out
-
-
-def _bn_stats_path(param_path, bs_flat):
-    """Maps a params BN scale path to its batch_stats module path."""
-    prefix = param_path[:-1]
-    for bs_path in bs_flat:
-        if bs_path[:-1] == prefix:
-            return prefix
-    return None
+        return VGG19BNFeatures()
+    raise SystemExit(
+        f"unknown encoder '{name}'; known: dorn_sceneparsing, vgg19_bn, "
+        f"{sorted(RESNET_PRESETS)}, {sorted(DENSENET_PRESETS)}"
+    )
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="torch .ckpt/.pth file")
-    ap.add_argument("--method", required=True, help="method name (bts, ...)")
+    tgt = ap.add_mutually_exclusive_group(required=True)
+    tgt.add_argument("--method", help="full-model method name (bts, ...)")
+    tgt.add_argument("--encoder", help="encoder-only preset "
+                                       "(dorn_sceneparsing, resnet50, "
+                                       "densenet161, vgg19_bn, ...)")
     ap.add_argument("--out", required=True, help="output .msgpack path")
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--reorder", choices=list(REORDERERS), default=None,
                     help="architecture-specific key reordering (e.g. vnl)")
+    ap.add_argument("--skip-prefixes", nargs="*",
+                    default=["fc.", "classifier."],
+                    help="torch keys to drop (classifier heads the target "
+                         "model lacks)")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
-    from mono_depth_estimation_tpu.models import MODELS
-
     jax.config.update("jax_platforms", "cpu")
-    model = MODELS[args.method]()
+
+    if args.method:
+        from mono_depth_estimation_tpu.models import MODELS
+
+        model = MODELS[args.method]()
+    else:
+        model = build_encoder(args.encoder)
+
     x = jnp.ones((1, args.height, args.width, 3), jnp.float32)
     # NOTE: init must stay EAGER — jit canonicalizes (sorts) dict keys in
     # its output pytree, which destroys the module-creation order the
     # sequential alignment relies on.
     template = model.init(jax.random.PRNGKey(0), x, train=False)
-    sd = load_torch_state_dict(args.ckpt)
+    sd = load_torch_state_dict(args.ckpt, skip_prefixes=tuple(args.skip_prefixes))
     if args.reorder:
         sd = REORDERERS[args.reorder](sd)
     variables = convert_sequential(sd, template)
-    Path(args.out).write_bytes(serialization.to_bytes(variables))
-    print(f"Wrote {args.out}")
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_bytes(serialization.to_bytes(variables))
+    print(f"Wrote {out}")
 
 
 if __name__ == "__main__":
