@@ -1,0 +1,157 @@
+"""End-to-end metric parity through evaluate.py (VERDICT round-1 item #6).
+
+Same weights + same test samples through BOTH eval pipelines:
+
+* reference: vendored torch DORN forward -> DORNModule.label_to_depth SID
+  decode (modules/dorn.py:95-99) -> test_step 480x640 interpolation
+  (modules/dorn.py:176-186) -> metrics.MetricComputation per batch
+  (metrics.py:47-72) -> *_epoch = mean over steps (what pl log(on_epoch=True)
+  reduces to at batch_size 1, evaluate.py:34-36)
+* ours: cli/evaluate.py main() with converted --torch_weights
+
+and every printed metric must agree within 1e-3.
+
+torchmetrics is not installed; its three regression functions used by the
+reference METRICS dict (metrics.py:116-119) are stubbed with their exact
+definitions (mae = mean |p-t|, mse = mean (p-t)^2, msle on log1p). 'ssim'
+is excluded here — it has its own golden test (tests/test_metrics.py).
+"""
+
+import sys
+import types
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+METRIC_NAMES = [
+    "delta1", "delta2", "delta3", "mse", "mae", "log10", "rmse",
+    "absrel", "sqrel",
+]
+
+
+def _stub_reference_imports():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        func = types.ModuleType("torchmetrics.functional")
+        reg = types.ModuleType("torchmetrics.functional.regression")
+        reg.mean_absolute_error = lambda p, t: (p - t).abs().mean()
+        reg.mean_squared_error = lambda p, t: ((p - t) ** 2).mean()
+        reg.mean_squared_log_error = (
+            lambda p, t: ((torch.log1p(p) - torch.log1p(t)) ** 2).mean()
+        )
+        func.regression = reg
+        func.structural_similarity_index_measure = None
+        tm.functional = func
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = func
+        sys.modules["torchmetrics.functional.regression"] = reg
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+@pytest.mark.slow
+def test_dorn_evaluate_metric_parity(tmp_path):
+    _stub_reference_imports()
+    import metrics as ref_metrics  # /root/reference/metrics.py
+    from network import Dorn as RefDorn
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.models.dorn import DORN
+    from tools.convert_torch_ckpt import convert_sequential
+
+    shape = (257, 353)  # reference-native (its view() breaks elsewhere)
+    targs = Namespace(
+        input_size=shape, kernel_size=16, ord_num=68, alpha=0.001, beta=1.0,
+        discretization="SID", pretrained=0, pyramid=[4, 8, 12], batch_norm=0,
+        dropout=0.5,
+    )
+    tm = RefDorn.DORN(targs).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+
+    fm = DORN(ord_num=68, input_size=shape, kernel_size=16, pyramid=(4, 8, 12))
+    x0 = jnp.ones((1, *shape, 3), jnp.float32)
+    template = fm.init(jax.random.PRNGKey(0), x0, train=False)  # eager!
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # FullImageEncoder Linear eats an NCHW flatten of the pooled 3x3 map
+    variables = convert_sequential(sd, template, dense_chw_hints={0: (2048, 3, 3)})
+    wfile = tmp_path / "dorn_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    # ---- ours: the real evaluate CLI (argv grammar included)
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    ours = eval_main([
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity",
+        "synthetic", "--n_images", "2", "--test",
+        "dorn", "--torch_weights", str(wfile),
+    ])
+
+    # ---- reference: same samples through the reference eval math
+    from mono_depth_estimation_tpu.methods.dorn import DornMethod
+
+    g = Namespace(metrics=METRIC_NAMES, worker=0, ds_name="", depth_method=None)
+    m = Namespace(
+        name="dorn", learning_rate=1e-4, batch_size=2, ckpt=None,
+        torch_weights=None, ord_num=68, alpha=0.001, beta=1.0,
+        discretization="SID", input_size=shape, kernel_size=16,
+        pyramid=[4, 8, 12], dropout=0.5, weight_decay=5e-4,
+    )
+    method = DornMethod(g, m)
+    _, _, test_t = method.policy_fns()
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+
+    ds = get_synthetic_dataset(Namespace(n_images=2), "test", shape, shape[0])
+
+    comp = ref_metrics.MetricComputation(METRIC_NAMES)
+    alpha, beta, ordn = (
+        torch.tensor(0.001), torch.tensor(1.0), torch.tensor(68.0)
+    )
+    step_values = []
+    with torch.no_grad():
+        for i in range(len(ds)):
+            rgb, depth = ds.get_raw(i)
+            x, y = test_t(rgb, depth, None)
+            xt = torch.from_numpy(
+                np.transpose(x, (2, 0, 1))[None].astype(np.float32)
+            )
+            yt = torch.from_numpy(
+                np.transpose(y, (2, 0, 1))[None].astype(np.float32)
+            )
+            pred_d, pred_ord = tm(xt)
+            # DORNModule.label_to_depth SID decode (modules/dorn.py:95-99)
+            y_hat = torch.exp(
+                torch.log(alpha) + torch.log(beta / alpha) * pred_d / ordn
+            )
+            # test_step protocol (modules/dorn.py:176-186)
+            yt = torch.nn.functional.interpolate(yt, (480, 640), mode="bilinear")
+            y_hat = torch.nn.functional.interpolate(
+                y_hat, (480, 640), mode="bilinear"
+            )
+            step_values.append(
+                [float(v) for v in comp.compute(y_hat, yt)]
+            )
+    ref = {
+        n: float(np.mean([sv[j] for sv in step_values]))
+        for j, n in enumerate(METRIC_NAMES)
+    }
+
+    for n in METRIC_NAMES:
+        assert abs(ours[n] - ref[n]) <= 1e-3, (
+            n, ours[n], ref[n], {k: (ours[k], ref[k]) for k in METRIC_NAMES}
+        )
