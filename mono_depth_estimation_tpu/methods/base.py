@@ -92,8 +92,11 @@ class Method:
         raise NotImplementedError()
 
     def init_variables(self, rng, sample_batch):
+        from mono_depth_estimation_tpu.ops.preproc import dequantize_images
+
         model = self.build_model()
-        x = jnp.asarray(self._model_input(sample_batch))
+        # loaders may deliver uint8 images (ops/preproc.py device-side path)
+        x = dequantize_images(jnp.asarray(self._model_input(sample_batch)))
         # jit the init: unjitted flax init dispatches each op eagerly —
         # thousands of device round trips on a remote/tunneled TPU.
         init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False))

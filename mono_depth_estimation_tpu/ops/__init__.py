@@ -1,13 +1,15 @@
 """Core tensor ops: compositing, SSIM, resize/interpolate, LPG, up-projection.
 
-Every op has a pure-jnp implementation (the default compute path — XLA
-fuses these elementwise chains into single kernels). Pallas TPU twins for
-LPG and fused preproc live in ``kernels/`` and are validated against the
-jnp versions; tools/benchmark_kernels.py measures both on hardware and
-records the winner in kernel_bench.json (currently XLA and Pallas are
-within noise for these ops — both are latency/bandwidth bound). The fused
+Every op is pure-jnp (XLA fuses these elementwise chains into single
+device kernels). Hand-written Pallas twins for LPG and fused preproc were
+benchmarked on the real chip with the steady-state in-graph protocol
+(tools/benchmark_kernels.py, kernel_bench.json) and LOST to the XLA
+lowering — these ops are bandwidth-bound elementwise chains XLA fuses into
+their consumers, which a standalone kernel cannot — so the kernels were
+deleted (SURVEY §7 hard part 3: "keep the winner"). The fused
 up-projection (ops/upproj.py) is a pure-XLA rewrite worth ~4x FLOPs on the
-FCRN decoder and is used by default.
+FCRN decoder and is used by default; device-side uint8 input preproc lives
+in ops/preproc.py and is wired into the Trainer loaders/steps.
 """
 
 from mono_depth_estimation_tpu.ops.compositing import (  # noqa: F401

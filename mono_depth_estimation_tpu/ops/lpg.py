@@ -9,9 +9,13 @@ plane's depth at the r x r sub-pixel positions
 
 All tensors NHWC: plane_eq is (B, h, w, 4) -> depth (B, h*r, w*r).
 
-This is a named Pallas-kernel target (BASELINE.json north star); the jnp
-form below already lowers to a fully fused VPU loop under XLA — the
-broadcasted u/v are constants folded at trace time.
+This was a named Pallas-kernel target (BASELINE.json north star); the jnp
+form below lowers to a fully fused VPU loop under XLA — the broadcasted u/v
+are constants folded at trace time. A hand-written Pallas kernel
+(expansion-matmul formulation) was benchmarked on the real chip with the
+steady-state in-graph protocol and LOST decisively (kernel_bench.json r2:
+XLA 0.011/0.049 ms vs Pallas 0.21/1.40 ms at BTS-512 r8/r4 shapes), so it
+was deleted per SURVEY §7 hard part 3 — this fused XLA form is the winner.
 """
 
 from __future__ import annotations

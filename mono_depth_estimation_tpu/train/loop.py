@@ -26,6 +26,11 @@ import numpy as np
 
 from mono_depth_estimation_tpu.data.loader import Loader
 from mono_depth_estimation_tpu.metrics.logger import MetricAccumulator
+from mono_depth_estimation_tpu.ops.preproc import (
+    UINT8_SAFE_POLICIES,
+    dequantize_images,
+    quantize_rgb_u8,
+)
 from mono_depth_estimation_tpu.parallel.mesh import make_mesh, shard_batch
 from mono_depth_estimation_tpu.train.checkpoint import CheckpointManager, scan_best
 from mono_depth_estimation_tpu.train.optim import (
@@ -104,6 +109,14 @@ class Trainer:
     # ------------------------------------------------------------ setup
     def _loaders(self, train_ds, val_ds, test_ds):
         train_t, val_t, test_t = self.method.policy_fns()
+        if self.method.POLICY in UINT8_SAFE_POLICIES:
+            # uint8 across the host->device boundary (ops/preproc.py):
+            # lossless for PIL policies, 4x fewer transfer bytes
+            train_t, val_t, test_t = (
+                quantize_rgb_u8(train_t),
+                quantize_rgb_u8(val_t),
+                quantize_rgb_u8(test_t),
+            )
         bs = int(self.method.method.batch_size)
         bs = max(self.n_devices, (bs // self.n_devices) * self.n_devices)
         train_loader = (
@@ -216,9 +229,14 @@ class Trainer:
             self._viz_fn = jax.jit(
                 lambda v, b: (
                     lambda o: (o["y_hat"], o.get("pred_full", o["y_hat"]))
-                )(self.method.val_outputs(self.model, v, b))
+                )(self.method.val_outputs(self.model, v, dequantize_images(b)))
             )
         batch, _ = next(iter(loader))
+        batch = jax.tree.map(
+            lambda x: x.astype(np.float32) / 255.0
+            if hasattr(x, "dtype") and x.dtype == np.uint8 else x,
+            batch,
+        )
         dbatch = shard_batch(batch, self.mesh)
         y_hat, pred_full = self._viz_fn(self._variables(), dbatch)
         viz_dir = Path(self.logger.run_dir) / "viz"

@@ -24,6 +24,12 @@ from mono_depth_estimation_tpu.train.state import TrainState
 
 
 def _cast_inputs(batch, dtype):
+    # uint8 images travel host->HBM at 1/4 the f32 bytes and are restored to
+    # f32/255 here, inside the jit, where XLA fuses the scale into the first
+    # consumer (ops/preproc.py quantize_rgb_u8 is the host-side producer)
+    from mono_depth_estimation_tpu.ops.preproc import dequantize_images
+
+    batch = dequantize_images(batch)
     if dtype is None:
         return batch
 
