@@ -121,6 +121,125 @@ def bench_jax_dorn_steady() -> float:
     return n * BATCH / float(np.median(times))
 
 
+def _mfu_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> float:
+    """Model FLOPs utilization vs the v5e's 197 bf16 TFLOP/s peak, from the
+    compiled program's own cost model (lowered-HLO flops / wall time)."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    fl = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
+    if fl <= 0 or sec_per_iter <= 0:
+        return 0.0
+    return fl / n_iters / sec_per_iter / 197e12
+
+
+def bench_jax_bts_steady(b: int = 16) -> tuple[float, float]:
+    """Flagship BTS-DenseNet-161 512x512 eval, steady state (in-graph scan
+    over distinct random batches). Returns (images/sec, MFU). Batch 16 is
+    the measured throughput sweet spot on v5e (143 vs 109 img/s at 8; the
+    model is HBM-bound — see BASELINE.md roofline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mono_depth_estimation_tpu.models.bts import BtsModel
+
+    model = BtsModel(
+        encoder_version="densenet161_bts", out_channels=10,
+        image_residuals=True, max_depth=1.0,
+    )
+    init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False))
+    variables = _bf16_params(
+        init_fn(jax.random.PRNGKey(0), jnp.ones((1, 512, 512, 3)))
+    )
+    n = 4
+
+    @jax.jit
+    def run(variables, key):
+        def body(carry, k):
+            x = jax.random.uniform(k, (b, 512, 512, 3), jnp.bfloat16)
+            out = model.apply(variables, x, train=False)[4]
+            return carry + out.sum().astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
+        return total
+
+    compiled = run.lower(variables, jax.random.PRNGKey(1)).compile()
+    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n
+    return b / dt, _mfu_from_cost(compiled, dt, n_iters=1)
+
+
+def bench_bts_train_steady(batch: int = 8, size=(512, 512),
+                           remat: bool = False):
+    """Flagship BTS-DenseNet-161 train step (silma loss + grads + AdamW) at
+    512x512 in bf16 compute, steady state. Returns (images/sec, MFU, remat)
+    — falls back to rematerialization if the activation footprint overflows
+    the chip's HBM."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as g
+    from mono_depth_estimation_tpu.train.state import TrainState
+    from mono_depth_estimation_tpu.train.steps import make_train_step
+
+    h, w = size
+    method = g._bts_method(batch_size=batch, encoder="densenet161_bts")
+    x = np.ones((batch, h, w, 4), np.float32)
+    y = np.ones((batch, h, w, 10), np.float32)
+    model, variables = method.init_variables(
+        jax.random.PRNGKey(0), (jnp.asarray(x), jnp.asarray(y))
+    )
+    optimizer = method.optimizer()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        opt_state=optimizer.init(variables["params"]),
+    )
+    train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
+                                 remat=remat)
+    n = 3
+
+    def run(state, key):
+        def body(carry, k):
+            st, _ = carry
+            kx, ky, ks = jax.random.split(k, 3)
+            xb = jax.random.uniform(kx, (batch, h, w, 4), jnp.float32)
+            yb = jax.random.uniform(ky, (batch, h, w, 10), jnp.float32)
+            st, loss, *_ = train_step(st, (xb, yb), ks)
+            return (st, loss), None
+
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jax.random.split(key, n)
+        )
+        return state, loss
+
+    run = jax.jit(run, donate_argnums=(0,))
+    try:
+        compiled = run.lower(state, jax.random.PRNGKey(1)).compile()
+        state, loss = compiled(state, jax.random.PRNGKey(1))
+        _ = float(loss)
+    except Exception as e:
+        if not remat and "RESOURCE_EXHAUSTED" in str(e):
+            return bench_bts_train_steady(batch, size, remat=True)
+        raise
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, loss = compiled(state, jax.random.PRNGKey(2 + i))
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n
+    return batch / dt, _mfu_from_cost(compiled, dt, n_iters=1), remat
+
+
 def bench_jax_bts() -> float:
     import jax
     import jax.numpy as jnp
@@ -276,11 +395,22 @@ def main():
         except Exception:
             pass
         try:
-            extra["bts_dn161_512_eval_images_per_sec"] = round(bench_jax_bts(), 2)
-        except Exception:
-            pass
+            ips_bts, mfu_bts = bench_jax_bts_steady()
+            extra["bts_dn161_512_eval_images_per_sec"] = round(ips_bts, 2)
+            extra["bts_dn161_512_eval_mfu"] = round(mfu_bts, 4)
+        except Exception as e:
+            extra["bts_eval_error"] = str(e)[:300]
         try:
-            extra["bts_train_step_images_per_sec"] = round(bench_train_step(), 2)
+            ips_tr, mfu_tr, remat = bench_bts_train_steady()
+            extra["bts_dn161_512_train_images_per_sec"] = round(ips_tr, 2)
+            extra["bts_dn161_512_train_mfu"] = round(mfu_tr, 4)
+            extra["bts_dn161_512_train_remat"] = remat
+        except Exception as e:
+            extra["bts_train_error"] = str(e)[:300]
+        try:
+            extra["bts_small_train_step_images_per_sec"] = round(
+                bench_train_step(), 2
+            )
         except Exception:
             pass
         if extra:

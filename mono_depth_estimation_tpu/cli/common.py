@@ -58,6 +58,13 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
         help="Accelerator count (reference flag name; maps to mesh width; "
         "0 = CPU)",
     )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="model-axis width of the 2-D ('data','model') mesh; >1 shards "
+        "the method's large Dense heads Megatron-style "
+        "(parallel/model_sharding.py) — Eigen's VGG FC pair and DORN's "
+        "FullImageEncoder FC",
+    )
     parser.add_argument("--dev", action="store_true", help="Fast dev run")
     parser.add_argument("--overfit", action="store_true", help="Overfit 1 batch")
     parser.add_argument("--min_epochs", default=5, type=int)

@@ -25,32 +25,55 @@ from mono_depth_estimation_tpu.parallel.mesh import make_mesh
 from mono_depth_estimation_tpu.train.loop import Trainer
 
 
-def lr_find(trainer, train_ds, val_ds, num_steps: int = 40):
-    """Exponential LR sweep; returns the lr with the steepest loss descent."""
+def lr_find(trainer, train_ds, val_ds, num_steps: int = 100,
+            beta: float = 0.98, diverge_factor: float = 4.0):
+    """Exponential LR sweep on FRESH training batches — the Lightning tuner
+    algorithm (train.py:160-166 of the reference): one optimizer step per
+    batch at an exponentially increasing lr, an EMA-smoothed loss curve,
+    early stop when the smoothed loss exceeds ``diverge_factor`` x its best,
+    and the suggestion is the lr at the steepest negative gradient of the
+    smoothed curve (Lightning's default 'gradient' suggestion)."""
     import numpy as np
 
     from mono_depth_estimation_tpu.parallel.mesh import shard_batch
     from mono_depth_estimation_tpu.train.optim import set_learning_rate
 
     train_loader, _, _ = trainer._loaders(train_ds, val_ds, None)
-    batch, _ = next(iter(train_loader))
-    trainer.setup(batch)
+    batch_iter = iter(train_loader)
+    first_batch, _ = next(batch_iter)
+    trainer.setup(first_batch)
     lrs = np.logspace(-7, -1, num_steps)
-    losses = []
+    losses, smoothed = [], []
+    ema, best = 0.0, float("inf")
     rng = jax.random.PRNGKey(0)
-    dbatch = shard_batch(batch, trainer.mesh)
-    for lr in lrs:
+    batch = first_batch
+    for i, lr in enumerate(lrs):
         trainer.state = trainer.state.replace(
             opt_state=set_learning_rate(trainer.state.opt_state, float(lr))
         )
         rng, sr = jax.random.split(rng)
+        dbatch = shard_batch(batch, trainer.mesh)
         trainer.state, loss, *_ = trainer._train_step(trainer.state, dbatch, sr)
-        losses.append(float(loss))
-        if not np.isfinite(losses[-1]):
+        loss = float(loss)
+        if not np.isfinite(loss):
             break
-    losses = np.asarray(losses)
-    grad = np.gradient(np.minimum.accumulate(losses))
-    return float(lrs[int(np.argmin(grad[: len(losses)]))])
+        losses.append(loss)
+        ema = beta * ema + (1.0 - beta) * loss
+        corrected = ema / (1.0 - beta ** (i + 1))
+        smoothed.append(corrected)
+        best = min(best, corrected)
+        if corrected > diverge_factor * best:
+            break
+        try:  # a fresh batch per step, cycling the loader if it runs dry
+            batch, _ = next(batch_iter)
+        except StopIteration:
+            batch_iter = iter(train_loader)
+            batch, _ = next(batch_iter)
+    smoothed = np.asarray(smoothed)
+    if len(smoothed) < 3:
+        return float(trainer.method.method.learning_rate)
+    grad = np.gradient(smoothed)
+    return float(lrs[int(np.argmin(grad))])
 
 
 def main(argv=None):
@@ -74,7 +97,9 @@ def main(argv=None):
 
     ckpt_name = name.replace("VALIDATE", "") if validate_only_prefix else name
     n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
-    mesh = make_mesh(n_data=min(n_dev, len(jax.devices())))
+    n_dev = min(n_dev, len(jax.devices()))
+    mp = max(1, getattr(args.globals, "model_parallel", 1))
+    mesh = make_mesh(n_data=max(1, n_dev // mp), n_model=mp)
 
     method = get_method(args)
     trainer = Trainer(

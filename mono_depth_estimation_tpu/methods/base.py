@@ -115,6 +115,12 @@ class Method:
         reference performs, resolved here to a converted local file)."""
         return None
 
+    def sharding_rules(self):
+        """Tensor-parallel PartitionSpec rules for this method's large Dense
+        layers (parallel/model_sharding.py), applied by the Trainer when the
+        mesh has a model axis > 1. Default: none (pure data parallelism)."""
+        return []
+
     def _model_input(self, batch):
         """Extracts the network input from a batch pytree."""
         return batch[0]

@@ -48,6 +48,15 @@ class DornMethod(Method):
         # SceneParsing ResNet-101 (network/Dorn.py:179-228)
         return "dorn_sceneparsing"
 
+    def sharding_rules(self):
+        # FullImageEncoder's 2048*h*w -> 512 FC (network/Dorn.py:64) is
+        # column-parallel over the model axis
+        from mono_depth_estimation_tpu.parallel.model_sharding import (
+            DORN_FC_RULES,
+        )
+
+        return DORN_FC_RULES
+
     def _forward(self, model, variables, x, train, rng=None, mutable=False):
         kwargs = {"rngs": {"dropout": rng}} if rng is not None else {}
         if train and mutable:

@@ -27,6 +27,15 @@ class EigenMethod(Method):
         # torchvision vgg19_bn ImageNet features (network/Eigen.py:74)
         return "vgg19_bn"
 
+    def sharding_rules(self):
+        # the zoo's largest matmul: the VGG-head FC pair 35840->4096->17024
+        # (network/Eigen.py:77-78) runs Megatron column/row-parallel
+        from mono_depth_estimation_tpu.parallel.model_sharding import (
+            EIGEN_FC_RULES,
+        )
+
+        return EIGEN_FC_RULES
+
     def train_loss(self, model, variables, batch, rng):
         x, y = batch
         y_hat, new_bs = self.apply(model, variables, x, train=True, mutable=True)

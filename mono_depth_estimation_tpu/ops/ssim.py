@@ -114,8 +114,15 @@ def dssim(pred: jax.Array, target: jax.Array, **kwargs) -> jax.Array:
 
 
 def ssim_metric(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """torchmetrics-compatible SSIM: VALID padding, data range from data,
-    no non-negative clamp (metrics.py:123 of the reference)."""
+    """torchmetrics-compatible SSIM: VALID padding, no non-negative clamp,
+    and the torchmetrics data-range inference
+    ``max(pred.max()-pred.min(), target.max()-target.min())`` — the max of
+    the PER-TENSOR ranges, not the joint range (metrics.py:123 of the
+    reference; pinned by goldens in tests/test_metrics.py)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    dr = jnp.maximum(pred.max() - pred.min(), target.max() - target.min())
     return ssim(
-        pred, target, data_range=None, nonnegative=False, padding="valid", reduction="mean"
+        pred, target, data_range=dr, nonnegative=False, padding="valid",
+        reduction="mean",
     )

@@ -18,7 +18,7 @@ try:
     from jax import shard_map  # jax >= 0.4.35
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _halo_exchange(x_local: jax.Array, pad: int, axis_name: str) -> jax.Array:
@@ -38,6 +38,32 @@ def _halo_exchange(x_local: jax.Array, pad: int, axis_name: str) -> jax.Array:
     top = jnp.where(idx == 0, zero, from_above)
     bot = jnp.where(idx == n - 1, zero, from_below)
     return jnp.concatenate([top, x_local, bot], axis=1)
+
+
+def spatially_sharded_apply(apply_fn, variables, x: jax.Array, mesh: Mesh,
+                            axis: str = "data"):
+    """Runs a whole NHWC model forward with the image H axis sharded over
+    ``axis`` — eval on imagery too large for one chip's HBM.
+
+    This is the production form of the mechanism ``halo_conv2d`` spells out
+    by hand: with the input placed P(None, axis) and params replicated, XLA's
+    GSPMD partitioner propagates the spatial sharding through every conv /
+    pool / resize in the model and inserts the boundary halo exchanges over
+    ICI itself. Works for arbitrary stride/dilation stacks (ResNet included),
+    which a manual halo pass would have to special-case.
+
+    Args:
+        apply_fn: ``lambda variables, x: model.apply(variables, x, ...)``.
+        variables: model variables (will be replicated).
+        x: (B, H, W, C) with H divisible by the mesh axis size.
+        mesh: the device mesh; ``axis`` names the mesh axis to shard H over.
+
+    Returns the forward output (fully addressable).
+    """
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    with mesh:
+        return jax.jit(apply_fn)(vs, xs)
 
 
 def halo_conv2d(

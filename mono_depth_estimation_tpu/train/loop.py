@@ -147,6 +147,16 @@ class Trainer:
         self.optimizer = self.method.optimizer()
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
+        rules = self.method.sharding_rules()
+        if rules and dict(self.mesh.shape).get("model", 1) > 1:
+            # Megatron-shard the method's big Dense heads over the model
+            # axis; optimizer.init below inherits the placement via
+            # zeros_like, so Adam moments are sharded identically
+            from mono_depth_estimation_tpu.parallel.model_sharding import (
+                shard_params,
+            )
+
+            params = shard_params(params, self.mesh, rules)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -199,10 +209,12 @@ class Trainer:
             dbatch = shard_batch(batch, self.mesh)
             results, extras = step_fn(self._eval_variables(), dbatch)
             results = jax.device_get(results)
-            for name, values in results.items():
-                vals = np.asarray(values)[mask]
-                for v in vals:
-                    acc.update({name: float(v)})
+            # one vectorized (sum, count) fold per metric per batch — the
+            # per-sample masking stays on host (padding masks are host-side)
+            # but the accumulation is O(metrics), not O(batch x metrics)
+            acc.update_arrays(
+                {name: np.asarray(values)[mask] for name, values in results.items()}
+            )
             if "val_loss" in extras:
                 losses.append(float(extras["val_loss"]))
             if self.fast_dev_run:
@@ -215,14 +227,14 @@ class Trainer:
     def validate(self, val_loader):
         metrics = self._run_eval(val_loader, self._val_step, "val")
         if self.save_visualizations:
-            self._save_visualization(val_loader)
+            self._save_visualization(next(iter(val_loader))[0])
         return {f"val_{k}" if not k.startswith("val_") else k: v
                 for k, v in metrics.items()}
 
-    def _save_visualization(self, loader, nam: str = "val"):
-        """Mosaic/row figure for the first batch of a val pass — the disk
-        analogue of the reference's W&B visualization cadence
-        (modules/base_module.py:286-301)."""
+    def _save_visualization(self, batch, nam: str = "val"):
+        """Mosaic/row figure for one host batch — the disk analogue of the
+        reference's W&B visualization cadence (val passes AND every
+        n_train//9 training batches, modules/base_module.py:85-87,286-301)."""
         from mono_depth_estimation_tpu.viz import save_stdepth_prediction
 
         if self._viz_fn is None:
@@ -231,7 +243,6 @@ class Trainer:
                     lambda o: (o["y_hat"], o.get("pred_full", o["y_hat"]))
                 )(self.method.val_outputs(self.model, v, dequantize_images(b)))
             )
-        batch, _ = next(iter(loader))
         batch = jax.tree.map(
             lambda x: x.astype(np.float32) / 255.0
             if hasattr(x, "dtype") and x.dtype == np.uint8 else x,
@@ -246,6 +257,16 @@ class Trainer:
             batch, np.asarray(y_hat), np.asarray(pred_full),
         )
         self._viz_count += 1
+
+    def maybe_save_train_visualization(self, batch, batch_idx: int,
+                                       n_train: int) -> None:
+        """Reference cadence: a figure every ``n_train // 9`` training
+        batches (modules/base_module.py:85-87) when --save_visualizations."""
+        if not self.save_visualizations:
+            return
+        every = max(1, n_train // 9)
+        if batch_idx % every == 0:
+            self._save_visualization(batch, nam="train")
 
     def test(self, test_loader):
         return self._run_eval(test_loader, self._test_step, "test")
@@ -295,6 +316,7 @@ class Trainer:
                     self.state, dbatch, step_rng
                 )
                 self.global_step += 1
+                self.maybe_save_train_visualization(batch, b, n_train)
                 if self.global_step % 50 == 1 or self.fast_dev_run:
                     payload = {"train_loss": float(loss), "epoch": epoch}
                     payload.update({f"train_{k}": float(v) for k, v in logs.items()})

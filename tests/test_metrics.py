@@ -59,3 +59,40 @@ def test_ssim_degrades_with_noise(rng):
     noisy = img + rng.normal(0, 0.2, size=img.shape).astype(np.float32)
     got = compute_metrics(noisy, img, ["ssim"])
     assert float(got["ssim"]) < 0.95
+
+
+def _ssim_golden_cases():
+    """Three fixed input pairs + golden SSIM values.
+
+    torchmetrics is not installed here, so the goldens were computed once
+    with an independent float64 numpy transcription of
+    torchmetrics.functional.image.ssim (v0.11) — reflect-pad + valid conv +
+    border crop (which reduces exactly to plain VALID gaussian-window SSIM),
+    data_range = max(pred.ptp(), target.ptp()) [per-tensor ranges, max],
+    k1=0.01 k2=0.03, 11x11 sigma-1.5 window, mean over the valid map —
+    pinning ops/ssim.ssim_metric to the reference's metrics.py:123 behavior.
+    """
+    rng = np.random.default_rng(42)
+    a1 = rng.uniform(0, 1, (1, 24, 32, 1))
+    b1 = np.clip(a1 + rng.normal(0, 0.1, a1.shape), 0, 1)
+    yy, xx = np.mgrid[0:20, 0:20] / 19.0
+    base = np.stack([yy, xx, (yy + xx) / 2], -1)
+    a2 = np.stack([base, base[::-1]], 0)
+    b2 = np.clip(a2 * 0.9 + 0.05 * rng.normal(size=a2.shape), 0, 2)
+    # different per-tensor ranges: catches joint-range data_range inference
+    a3 = rng.uniform(0, 1, (1, 16, 16, 1))
+    b3 = rng.uniform(0.5, 2.0, (1, 16, 16, 1))
+    return [
+        (a1, b1, 0.9485642750),
+        (a2, b2, 0.7976295167),
+        (a3, b3, -0.1419446526),
+    ]
+
+
+@pytest.mark.parametrize("case", range(3))
+def test_ssim_metric_torchmetrics_goldens(case):
+    from mono_depth_estimation_tpu.ops.ssim import ssim_metric
+
+    pred, target, want = _ssim_golden_cases()[case]
+    got = float(ssim_metric(pred.astype(np.float32), target.astype(np.float32)))
+    assert got == pytest.approx(want, abs=1e-4), (got, want)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import linen as nn
 from jax.sharding import PartitionSpec as P
 
@@ -65,3 +66,136 @@ def test_megatron_dense_pair_matches_replicated():
     # the kernel really is distributed over the model axis
     k0 = sharded_params["Dense_0"]["kernel"]
     assert k0.sharding.spec == P(None, "model")
+
+
+@pytest.mark.slow
+def test_real_eigen_vgg_head_sharded_matches_replicated():
+    """The ACTUAL EigenScale1 (VGG-19-BN features -> FC 4096 -> FC 17024 ->
+    deconv, models/eigen.py / network/Eigen.py:71-90) under EIGEN_FC_RULES
+    on a (4 data x 2 model) mesh == the unsharded forward. The FC reshape
+    target is static (14x19x64), so a reduced 96x128 input exercises the
+    identical module and param tree at CPU-test cost."""
+    from flax import linen as nn
+
+    from mono_depth_estimation_tpu.models.eigen import EigenScale1
+
+    class Wrap(nn.Module):
+        """Parent scope so params sit under 'EigenScale1_0' exactly as in
+        the full Eigen model (the path EIGEN_FC_RULES match on)."""
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            return EigenScale1()(x, train=train)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = Wrap()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 96, 128, 3)).astype(np.float32))
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+
+    ref = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+
+    sharded = dict(variables)
+    sharded["params"] = shard_params(variables["params"], mesh, EIGEN_FC_RULES)
+    # rules must have matched the real param tree, not just a lookalike
+    k0 = sharded["params"]["EigenScale1_0"]["Dense_0"]["kernel"]
+    assert k0.sharding.spec == P(None, "model")
+    xb = jax.device_put(x, batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(sharded, xb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_real_dorn_full_image_encoder_sharded_matches_replicated():
+    """The ACTUAL DORN FullImageEncoder (avgpool -> FC 512 -> 1x1 conv,
+    models/dorn.py / network/Dorn.py:56-80) under DORN_FC_RULES: the
+    column-parallel Dense output is resharded by GSPMD before the replicated
+    1x1 conv, and the result matches the unsharded forward."""
+    from flax import linen as nn
+
+    from mono_depth_estimation_tpu.models.dorn import FullImageEncoder
+    from mono_depth_estimation_tpu.parallel.model_sharding import DORN_FC_RULES
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return FullImageEncoder(8, 8, 4, dropout_prob=0.0)(x, train=False)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = Head()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 8, 8, 256)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    ref = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(params, x)
+
+    sharded = shard_params(params, mesh, DORN_FC_RULES)
+    assert sharded["FullImageEncoder_0"]["Dense_0"]["kernel"].sharding.spec \
+        == P(None, "model")
+    xb = jax.device_put(x, batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda p, xx: model.apply({"params": p}, xx))(sharded, xb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_setup_applies_sharding_rules(tmp_path):
+    """Trainer.setup shards the method's rule-matched params (and the Adam
+    moments inherit the placement via zeros_like) when the mesh has a model
+    axis > 1."""
+    import argparse
+
+    from mono_depth_estimation_tpu.methods.base import Method
+
+    class _TPMethod(Method):
+        NAME = "tp_toy"
+
+        def build_model(self):
+            import flax.linen as nn
+
+            class M(nn.Module):
+                @nn.compact
+                def __call__(self, x, train=False):
+                    x = nn.Dense(64, name="Dense_0")(x)
+                    return nn.Dense(8, name="Dense_1")(nn.relu(x))
+
+            return M()
+
+        def init_variables(self, rng, sample_batch):
+            model = self.build_model()
+            return model, model.init(rng, jnp.asarray(sample_batch[0]))
+
+        def optimizer(self):
+            import optax
+
+            return optax.adam(1e-3)
+
+        def sharding_rules(self):
+            return [(("Dense_0", "kernel"), P(None, "model")),
+                    (("Dense_0", "bias"), P("model")),
+                    (("Dense_1", "kernel"), P("model", None))]
+
+    from mono_depth_estimation_tpu.train.loop import Trainer
+
+    g = argparse.Namespace()
+    m = argparse.Namespace(batch_size=8, learning_rate=1e-3)
+    method = _TPMethod(g, m)
+    mesh = make_mesh(n_data=4, n_model=2)
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+    tr = Trainer(method, metrics=("mae",), mesh=mesh, worker=0,
+                 run_name="tp_toy_test", checkpoint_root=str(tmp_path / "ckpt"),
+                 logger=RunLogger(tmp_path / "runs"))
+    x = np.ones((8, 16), np.float32)
+    state = tr.setup((x, x))
+    assert state.params["Dense_0"]["kernel"].sharding.spec == P(None, "model")
+    mu = jax.tree.leaves(state.opt_state)  # Adam moments share the placement
+    assert any(
+        getattr(leaf, "sharding", None) is not None
+        and getattr(leaf.sharding, "spec", None) == P(None, "model")
+        for leaf in mu
+        if hasattr(leaf, "shape") and leaf.shape == (16, 64)
+    )

@@ -84,6 +84,28 @@ def test_fit_fast_dev_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_lr_find_sweeps_fresh_batches(tmp_path):
+    """The Lightning-style LR finder: fresh batch per step, EMA smoothing,
+    divergence stop, gradient suggestion inside the swept range."""
+    from mono_depth_estimation_tpu.cli.train import lr_find
+
+    method = _make_method(loss="mae")
+    train_ds = _StdepthStyleDataset(split="train", n_images=16, image_size=(96, 128))
+    val_ds = _StdepthStyleDataset(split="val", n_images=2, image_size=(96, 128))
+    trainer = Trainer(
+        method,
+        metrics=["mae"],
+        precision=32,
+        run_name="lrfind_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+    )
+    trainer.logger.run_dir = tmp_path
+    suggested = lr_find(trainer, train_ds, val_ds, num_steps=12)
+    assert 1e-8 < suggested < 1.0
+
+
+@pytest.mark.slow
 def test_overfit_reduces_loss(tmp_path):
     method = _make_method(loss="mae")
     train_ds = _StdepthStyleDataset(split="train", n_images=8, image_size=(96, 128))
