@@ -124,13 +124,27 @@ def bench_jax_dorn_steady() -> float:
 def _mfu_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> float:
     """Model FLOPs utilization vs the v5e's 197 bf16 TFLOP/s peak, from the
     compiled program's own cost model (lowered-HLO flops / wall time)."""
+    return _roofline_from_cost(compiled, sec_per_iter, n_iters)["mfu"]
+
+
+def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict:
+    """MFU (of 197 bf16 TFLOP/s) + HBM bandwidth utilization (of 819 GB/s)
+    from the compiled program's cost model. For HBM-bound models (BTS's
+    DenseNet concat stacks — BASELINE.md roofline) bw_util is the number that
+    says how close the program is to its own speed-of-light; MFU alone
+    understates kernel quality there."""
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    fl = float(ca.get("flops", 0.0)) if hasattr(ca, "get") else 0.0
-    if fl <= 0 or sec_per_iter <= 0:
-        return 0.0
-    return fl / n_iters / sec_per_iter / 197e12
+    if not hasattr(ca, "get") or sec_per_iter <= 0:
+        return {"mfu": 0.0, "bytes_gb": 0.0, "bw_util": 0.0}
+    fl = float(ca.get("flops", 0.0)) / n_iters
+    by = float(ca.get("bytes accessed", 0.0)) / n_iters
+    return {
+        "mfu": fl / sec_per_iter / 197e12 if fl > 0 else 0.0,
+        "bytes_gb": by / 1e9,
+        "bw_util": by / sec_per_iter / 819e9 if by > 0 else 0.0,
+    }
 
 
 def bench_jax_bts_steady(b: int = 16) -> tuple[float, float]:
@@ -172,7 +186,7 @@ def bench_jax_bts_steady(b: int = 16) -> tuple[float, float]:
         _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n
-    return b / dt, _mfu_from_cost(compiled, dt, n_iters=1)
+    return b / dt, _roofline_from_cost(compiled, dt, n_iters=1)
 
 
 def bench_bts_train_steady(batch: int = 8, size=(512, 512),
@@ -237,7 +251,7 @@ def bench_bts_train_steady(batch: int = 8, size=(512, 512),
         _ = float(loss)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / n
-    return batch / dt, _mfu_from_cost(compiled, dt, n_iters=1), remat
+    return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
 def bench_jax_bts() -> float:
@@ -395,15 +409,17 @@ def main():
         except Exception:
             pass
         try:
-            ips_bts, mfu_bts = bench_jax_bts_steady()
+            ips_bts, rf_bts = bench_jax_bts_steady()
             extra["bts_dn161_512_eval_images_per_sec"] = round(ips_bts, 2)
-            extra["bts_dn161_512_eval_mfu"] = round(mfu_bts, 4)
+            extra["bts_dn161_512_eval_mfu"] = round(rf_bts["mfu"], 4)
+            extra["bts_dn161_512_eval_hbm_bw_util"] = round(rf_bts["bw_util"], 4)
         except Exception as e:
             extra["bts_eval_error"] = str(e)[:300]
         try:
-            ips_tr, mfu_tr, remat = bench_bts_train_steady()
+            ips_tr, rf_tr, remat = bench_bts_train_steady()
             extra["bts_dn161_512_train_images_per_sec"] = round(ips_tr, 2)
-            extra["bts_dn161_512_train_mfu"] = round(mfu_tr, 4)
+            extra["bts_dn161_512_train_mfu"] = round(rf_tr["mfu"], 4)
+            extra["bts_dn161_512_train_hbm_bw_util"] = round(rf_tr["bw_util"], 4)
             extra["bts_dn161_512_train_remat"] = remat
         except Exception as e:
             extra["bts_train_error"] = str(e)[:300]

@@ -162,7 +162,15 @@ def derive_globals(args):
 
 def maybe_init_distributed(args) -> None:
     """Multi-host initialization (SURVEY §2.8 item 1: DCN via
-    jax.distributed.initialize + identical mesh construction)."""
+    jax.distributed.initialize + identical mesh construction).
+
+    On a managed cluster (Slurm/MPI/GKE) bare ``initialize()`` auto-detects
+    the topology. For manual launches — the analogue of the reference's
+    Lightning DDP env:// rendezvous — the standard JAX env triplet
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
+    is passed through explicitly (this jax version only reads the address
+    from the environment by itself). Exercised end-to-end by
+    tests/test_distributed.py on two CPU processes."""
     import os
 
     if getattr(args.globals, "distributed", False) or os.environ.get(
@@ -170,7 +178,16 @@ def maybe_init_distributed(args) -> None:
     ):
         import jax
 
-        jax.distributed.initialize()
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if num is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+                num_processes=int(num),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()
 
 
 def seed_everything(seed: int | None) -> int:
