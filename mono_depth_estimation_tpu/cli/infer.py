@@ -86,9 +86,13 @@ def main(argv=None):
 
     from mono_depth_estimation_tpu.viz import save_stdepth_prediction
 
+    from mono_depth_estimation_tpu.ops.preproc import dequantize_images
+
     @jax.jit
     def outputs_fn(v, b):
-        out = method.test_outputs(trainer.model, v, b)
+        # loaders deliver uint8 images (device-side u8 path); restore f32
+        # in-graph exactly like train/steps._cast_inputs does
+        out = method.test_outputs(trainer.model, v, dequantize_images(b))
         return out["y_hat"], out.get("pred_full", out["y_hat"])
 
     results_acc = None

@@ -187,6 +187,8 @@ def save_stdepth_prediction(path, batch, y_hat, pred_full):
         y = np.asarray(batch.get("depth_raw", batch.get("B")))[0]
     else:
         x, y = np.asarray(batch[0])[0], np.asarray(batch[1])[0]
+    if x.dtype == np.uint8:  # device-side u8 loader path (ops/preproc.py)
+        x = x.astype(np.float32) / 255.0
     p = np.asarray(y_hat)[0]
     pf = np.asarray(pred_full)[0]
     if p.shape[-1] == 10:
