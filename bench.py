@@ -151,11 +151,11 @@ def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict
     }
 
 
-def bench_jax_bts_steady(b: int = 16) -> tuple[float, float]:
+def bench_jax_bts_steady(b: int = 32) -> tuple[float, float]:
     """Flagship BTS-DenseNet-161 512x512 eval, steady state (in-graph scan
-    over distinct random batches). Returns (images/sec, MFU). Batch 16 is
-    the measured throughput sweet spot on v5e (143 vs 109 img/s at 8; the
-    model is HBM-bound — see BASELINE.md roofline)."""
+    over distinct random batches). Returns (images/sec, roofline). Batch 32
+    is the measured throughput sweet spot on v5e (163 vs 146 @ 16, 109 @ 8;
+    the model is HBM-bound — see BASELINE.md roofline)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -193,14 +193,16 @@ def bench_jax_bts_steady(b: int = 16) -> tuple[float, float]:
     return b / dt, _roofline_from_cost(compiled, dt, n_iters=1)
 
 
-def bench_bts_train_steady(batch: int = 16, size=(512, 512),
+def bench_bts_train_steady(batch: int = 32, size=(512, 512),
                            remat: bool = False):
     """Flagship BTS-DenseNet-161 train step (silma loss + grads + AdamW) at
     512x512 in bf16 compute, steady state. Returns (images/sec, roofline,
     remat) — falls back to rematerialization if the activation footprint
-    overflows the chip's HBM. Batch 16 is the measured sweet spot: ~87
-    img/s at ~88% of the HBM bandwidth roofline (vs 68.7 at batch 8) —
-    the step is bandwidth-saturated, not kernel-limited (BASELINE.md)."""
+    overflows the chip's HBM. Batch 32 is the measured sweet spot on the
+    16G v5e: 91.1 img/s at 83% of the HBM bandwidth roofline (sweep: 68.7
+    @ b8, 86.9 @ b16, 87.3 @ b48; b64 fails to compile; remat @ b16 LOSES,
+    65.2 img/s — recompute adds traffic to an already bandwidth-saturated
+    step). The step is bandwidth-bound, not kernel-limited (BASELINE.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
