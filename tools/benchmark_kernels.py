@@ -150,9 +150,43 @@ def bench_upproj(results):
             results[k]["note"] = "pallas_ms column is the fused-phase rewrite"
 
 
+def bench_upconv(results):
+    """Fused input-dilated nearest-up+conv vs the literal upsample+conv
+    (ops/upconv.py; the five BTS-512 decoder upconv stages, bf16 batch 32).
+    A 4-phase-convs decomposition and a padded-single-conv+slice variant
+    were also measured during the r2 decision and lose to the dilated form
+    at every shape (see ops/upconv.py docstring)."""
+    from mono_depth_estimation_tpu.ops.upconv import (
+        upconv_nearest_conv,
+        upconv_nearest_conv_reference,
+    )
+
+    b = 32
+    for tag, hw, cin, cout in [
+        ("up5", 16, 2208, 512), ("up4", 32, 512, 256), ("up3", 64, 128, 128),
+        ("up2", 128, 128, 64), ("up1", 256, 64, 32),
+    ]:
+        def make(k, hw=hw, cin=cin, cout=cout):
+            kx, kw = jax.random.split(k)
+            return (
+                jax.random.uniform(kx, (b, hw, hw, cin), jnp.bfloat16),
+                jax.random.normal(kw, (3, 3, cin, cout), jnp.bfloat16) * 0.02,
+            )
+
+        bench_pair(
+            f"upconv_{tag}_{hw}x{hw}_{cin}->{cout}", make,
+            lambda xw: upconv_nearest_conv_reference(*xw),
+            lambda xw: upconv_nearest_conv(*xw),
+            results,
+        )
+    for k in list(results):
+        if k.startswith("upconv"):
+            results[k]["note"] = "pallas_ms column is the fused dilated form"
+
+
 def main():
     out = {}
-    for bench in (bench_lpg, bench_preproc, bench_upproj):
+    for bench in (bench_lpg, bench_preproc, bench_upproj, bench_upconv):
         try:
             bench(out)
         except Exception as e:  # record partial results + the failure
