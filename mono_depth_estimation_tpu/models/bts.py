@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mono_depth_estimation_tpu.models.common import BatchNorm, Conv
-from mono_depth_estimation_tpu.ops.upconv import upconv_nearest_conv
+from mono_depth_estimation_tpu.models.common import BatchNorm, Conv, FusedUpConv
 from mono_depth_estimation_tpu.models.encoders.densenet import (
     DENSENET_PRESETS,
     DenseNetEncoder,
@@ -70,45 +69,16 @@ class _DecoderBN(nn.Module):
         )
 
 
-class _UpConvKernel(nn.Module):
-    """Owns the upconv's 3x3 kernel under the exact name/shape/init nn.Conv
-    would give it (checkpoint/converter compatibility), but applies it as
-    the fused input-dilated form (ops/upconv.py) — 1.4-2.1x measured on the
-    flagship decoder shapes; no 4x-upsampled intermediate in HBM."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        return upconv_nearest_conv(x, kernel)
-
-
-class _UpConvHolder(nn.Module):
-    """Scope shim so the kernel path stays Conv_0/Conv_0/kernel (the tree
-    the direct ``Conv`` module produced and the torch converter targets)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return _UpConvKernel(self.features, name="Conv_0")(x)
-
-
 class UpConvELU(nn.Module):
     """nearest-2x upsample + 3x3 conv + ELU (Bts.py:69-80), computed as one
-    fused input-dilated conv (exact; ops/upconv.py)."""
+    fused input-dilated conv (exact; ops/upconv.py) — 1.4-2.1x measured on
+    the flagship decoder shapes; no 4x-upsampled intermediate in HBM."""
 
     features: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.elu(_UpConvHolder(self.features, name="Conv_0")(x))
+        return nn.elu(FusedUpConv(self.features, name="Conv_0")(x))
 
 
 class AtrousConv(nn.Module):

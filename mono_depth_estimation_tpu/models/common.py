@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mono_depth_estimation_tpu.ops.upconv import upconv_nearest_conv
+
 
 def torch_pad(kernel: int, dilation: int = 1) -> tuple[int, int]:
     """torch Conv2d padding=k//2*d as an explicit (lo, hi) pair."""
@@ -184,6 +186,53 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+class _FusedUpConvKernel(nn.Module):
+    """Owns the 3x3 kernel (and optional bias) under the exact names, shapes
+    and inits ``nn.Conv`` would give them, but applies the conv as the fused
+    input-dilated form (ops/upconv.py) — no 4x-upsampled intermediate in HBM."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = upconv_nearest_conv(x, kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class FusedUpConv(nn.Module):
+    """``upsample2x_nearest`` + ``Conv(features, kernel=3, padding=1)`` as ONE
+    input-dilated convolution (exact; ops/upconv.py — 1.4-2.1x measured on the
+    BTS-512 decoder shapes, kernel_bench.json).
+
+    The parameter tree matches what a direct ``Conv`` child would have
+    produced (``<name>/Conv_0/{kernel,bias}``) so checkpoints and the torch
+    converter are unaffected; pass ``name="Conv_N"`` at the call site to pin
+    the auto-name the plain ``Conv`` used to get.
+    """
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return _FusedUpConvKernel(
+            self.features, self.use_bias, name="Conv_0"
+        )(x)
 
 
 def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:

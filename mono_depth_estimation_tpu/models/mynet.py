@@ -23,6 +23,7 @@ from mono_depth_estimation_tpu.models.common import (
     BatchNorm,
     Conv,
     ConvTranspose,
+    FusedUpConv,
     pixel_shuffle,
     upsample2x_nearest,
 )
@@ -126,11 +127,11 @@ class Sharpness(nn.Module):
         x2 = ConvTranspose(feat2 // 4, kernel=4, stride=2, padding=1)(x2)
         x2 = ConvTranspose(feat2 // 8, kernel=4, stride=2, padding=1)(x2)
         x = jnp.concatenate([x0, x1, x2], axis=-1)
-        x = upsample2x_nearest(x)
-        x = Conv(self.out_feat * 2, kernel=3, padding=1, use_bias=True)(x)
+        # upsample+conv pairs fused into input-dilated convs (ops/upconv.py);
+        # names pinned so the param tree stays Conv_{0,1}/Conv_0/{kernel,bias}
+        x = FusedUpConv(self.out_feat * 2, use_bias=True, name="Conv_0")(x)
         x = nn.relu(x)
-        x = upsample2x_nearest(x)
-        x = Conv(self.out_feat, kernel=3, padding=1, use_bias=True)(x)
+        x = FusedUpConv(self.out_feat, use_bias=True, name="Conv_1")(x)
         return nn.relu(x)
 
 
@@ -193,11 +194,12 @@ class MyModel(nn.Module):
         # order (MyNet.py:129-131) so the sequential weight converter aligns
         a, b, c = Weighter(self.input_size)((glob, detail, sharp), train=train)
 
-        # shared depth head (MyNet.py:131,145-147)
-        head_conv = Conv(1, kernel=3, padding=1)
+        # shared depth head (MyNet.py:131,145-147); the upsample+conv is one
+        # fused input-dilated conv, params shared across the three branches
+        head_conv = FusedUpConv(1, name="Conv_0")
 
         def get_depth(feat):
-            return nn.sigmoid(head_conv(upsample2x_nearest(feat)))
+            return nn.sigmoid(head_conv(feat))
 
         glob_d = get_depth(glob)
         detail_d = get_depth(detail)

@@ -47,3 +47,53 @@ def test_upconv_gradients_match():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-4)
+
+
+def test_fused_upconv_module_matches_literal_form():
+    """FusedUpConv (models/common.py) must produce the exact param tree of
+    the literal upsample2x_nearest + Conv pair it replaces (so checkpoints
+    and the torch converter are untouched) and the same outputs when both
+    are evaluated with the same params — with and without bias."""
+    from flax import linen as nn
+
+    from mono_depth_estimation_tpu.models.common import (
+        Conv,
+        FusedUpConv,
+        upsample2x_nearest,
+    )
+
+    class Literal(nn.Module):
+        features: int
+        use_bias: bool
+
+        @nn.compact
+        def __call__(self, x):
+            x = upsample2x_nearest(x)
+            return Conv(self.features, kernel=3, padding=1,
+                        use_bias=self.use_bias, name="Conv_0")(x)
+
+    class Fused(nn.Module):
+        features: int
+        use_bias: bool
+
+        @nn.compact
+        def __call__(self, x):
+            return FusedUpConv(self.features, use_bias=self.use_bias,
+                               name="Conv_0")(x)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 3)), jnp.float32)
+    for use_bias in (False, True):
+        lit, fus = Literal(4, use_bias), Fused(4, use_bias)
+        v_lit = lit.init(jax.random.PRNGKey(0), x)
+        v_fus = fus.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v_lit) == \
+            jax.tree_util.tree_structure(v_fus)
+        assert jax.tree.map(lambda a: a.shape, v_lit) == \
+            jax.tree.map(lambda a: a.shape, v_fus)
+        # same params through both forms -> same outputs
+        np.testing.assert_allclose(
+            np.asarray(fus.apply(v_lit, x)),
+            np.asarray(lit.apply(v_lit, x)),
+            atol=3e-5, rtol=1e-5,
+        )
