@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol (BASELINE.json config 4): DORN — deep-stem dilated ResNet-101 +
 SceneUnderstanding + ordinal decode — eval forward at its native 257x353,
-bf16 on TPU, batch 8. DORN is the one reference model that runs without
+bf16 on TPU, batch 16 (the measured throughput sweet spot; the torch-CPU
+baseline is batch-insensitive). DORN is the one reference model that runs without
 torchvision/torch.hub, so the baseline is the REFERENCE CODE ITSELF on CPU
 (vendored torch ResNet, /root/reference/network/Dorn.py), measured once and
 cached in bench_baseline.json (--remeasure-baseline to refresh).
@@ -407,8 +408,10 @@ def main():
 
     # headline: steady-state on-chip throughput (in-graph scan over distinct
     # inputs, fully synced) — per-call timing is dominated by the tunnel's
-    # ~30 ms round trip and recorded in extras instead.
-    ips = bench_jax_dorn_steady()
+    # ~30 ms round trip and recorded in extras instead. Batch 16 is the
+    # measured throughput sweet spot since the matmul-form align-corners
+    # resize (sweep: 481 @ b8, 512 @ b16, 498 @ b32; BASELINE.md).
+    ips = bench_jax_dorn_steady(batch=16)
 
     if not args.skip_extra:
         extra = {}

@@ -45,35 +45,40 @@ def resize_bilinear(
     return out[0] if squeeze else out
 
 
+def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
+    """(n_out, n_in) align-corners bilinear interpolation matrix: two
+    nonzeros per row, ``M[i, y0]=1-w`` and ``M[i, y1]=w``. All inputs are
+    compile-time constants, so XLA folds the matrix into the program."""
+    if n_out == 1 or n_in == 1:
+        # out coord (or the only in coord) is 0: every row reads input 0
+        return jnp.zeros((n_out, n_in), jnp.float32).at[:, 0].set(1.0)
+    yy = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, n_in - 1)
+    y1 = jnp.clip(y0 + 1, 0, n_in - 1)
+    w = yy - y0.astype(jnp.float32)
+    # y0 == y1 on exact-hit rows: (1-w)+w collapses to a single 1 there.
+    return jax.nn.one_hot(y0, n_in) * (1.0 - w)[:, None] + jax.nn.one_hot(
+        y1, n_in
+    ) * w[:, None]
+
+
 def _resize_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
-    """torch F.interpolate(..., align_corners=True) semantics via gather."""
+    """torch F.interpolate(..., align_corners=True) semantics.
+
+    Computed as two small matmuls (separable interpolation: ``M_h @ x`` then
+    ``x @ M_w^T``) rather than four spatial gathers — the matmuls ride the
+    MXU and avoid materializing 4 output-sized corner tensors in HBM
+    (measured: the DORN headline's 33x45 -> 257x353 x136ch tail was the
+    gather form's largest cost). f32 accumulation, cast back to x.dtype —
+    same float math as the gather form (products were f32-promoted there)."""
     in_h, in_w = x.shape[-3], x.shape[-2]
     out_h, out_w = size
-
-    def coords(n_in, n_out):
-        if n_out == 1:
-            return jnp.zeros((1,), jnp.float32)
-        scale = (n_in - 1) / (n_out - 1)
-        return jnp.arange(n_out, dtype=jnp.float32) * scale
-
-    yy = coords(in_h, out_h)
-    xx = coords(in_w, out_w)
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, in_h - 1)
-    y1 = jnp.clip(y0 + 1, 0, in_h - 1)
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, in_w - 1)
-    x1 = jnp.clip(x0 + 1, 0, in_w - 1)
-    wy = (yy - y0.astype(jnp.float32))[:, None, None]
-    wx = (xx - x0.astype(jnp.float32))[None, :, None]
-
-    rows0 = jnp.take(x, y0, axis=-3)
-    rows1 = jnp.take(x, y1, axis=-3)
-    p00 = jnp.take(rows0, x0, axis=-2)
-    p01 = jnp.take(rows0, x1, axis=-2)
-    p10 = jnp.take(rows1, x0, axis=-2)
-    p11 = jnp.take(rows1, x1, axis=-2)
-    top = p00 * (1 - wx) + p01 * wx
-    bot = p10 * (1 - wx) + p11 * wx
-    return (top * (1 - wy) + bot * wy).astype(x.dtype)
+    mh = _interp_matrix(in_h, out_h)
+    mw = _interp_matrix(in_w, out_w)
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    out = jnp.einsum("pw,...hwc->...hpc", mw, y)
+    return out.astype(x.dtype)
 
 
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:

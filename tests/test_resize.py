@@ -1,0 +1,46 @@
+"""resize_bilinear(align_corners=True) == torch F.interpolate semantics.
+
+The op is the tail of DORN (network/Dorn.py:120-127), FCRN (FCRN.py:226),
+SharpNet, MiDaS and VNL; it is computed as two separable interpolation
+matmuls (ops/resize.py), so this pins the matmul form to the torch gather
+semantics it must reproduce.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mono_depth_estimation_tpu.ops.resize import resize_bilinear
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((33, 45), (257, 353)),  # the DORN headline upsample
+        ((7, 9), (14, 18)),
+        ((16, 20), (5, 7)),      # downsample (VNL stage resizes)
+        ((1, 6), (4, 12)),       # degenerate input H
+        ((5, 6), (1, 1)),        # degenerate output
+        ((8, 8), (8, 8)),        # identity
+    ],
+)
+def test_align_corners_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(sum(in_hw) + sum(out_hw))
+    x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
+
+    ours = resize_bilinear(jnp.asarray(x), out_hw, align_corners=True)
+
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    ref = F.interpolate(t, size=out_hw, mode="bilinear", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_align_corners_preserves_dtype():
+    x = jnp.ones((1, 4, 4, 2), jnp.bfloat16)
+    out = resize_bilinear(x, (9, 9), align_corners=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)
