@@ -50,6 +50,16 @@ DENSENET_PRESETS: dict[str, DenseNetConfig] = {
 
 
 class DenseLayer(nn.Module):
+    """Literal norm1/relu/conv1 + norm2/relu/conv2, deliberately: a Pallas
+    kernel fusing norm1+relu+conv1x1 into one scale-shift-relu-matmul (with
+    a custom VJP recomputing the prologue in backward) was built and
+    measured on v5e at every dense-layer shape of the 512x512 b32 flagship —
+    XLA wins 1.3-2.3x at ALL of them (e.g. 1.53 vs 2.02 ms at M=32768
+    C=2112; end-to-end eval 179 -> 155 img/s). XLA already fuses the
+    elementwise BN+ReLU prologue into its conv, so there is no HBM
+    materialization to save, and its conv tiling beats a hand-rolled
+    single-level matmul. Keep the lowered form."""
+
     growth_rate: int
     bn_size: int
     frozen_bn: bool = False
