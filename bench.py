@@ -263,6 +263,81 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
+def _steady_eval(model, size, batch, n=6, train_kw=True):
+    """Generic steady-state eval fwd: in-graph scan over n distinct random
+    batches, bf16 weights, host readback. Returns (images/sec, roofline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    apply = (lambda v, x: model.apply(v, x, train=False)) if train_kw else (
+        lambda v, x: model.apply(v, x))
+    init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False)
+                      if train_kw else model.init(r, xx))
+    variables = _bf16_params(
+        init_fn(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+
+    @jax.jit
+    def run(variables, key):
+        def body(carry, k):
+            x = jax.random.uniform(k, (batch, *size, 3), jnp.bfloat16)
+            out = apply(variables, x)
+            tot = sum(o.astype(jnp.float32).sum()
+                      for o in jax.tree_util.tree_leaves(out))
+            return carry + tot, None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
+        return total
+
+    compiled = run.lower(variables, jax.random.PRNGKey(1)).compile()
+    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n
+    return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1)
+
+
+def bench_zoo() -> dict:
+    """Eval fwd throughput for the REST of the model zoo, each at its
+    method's reference eval size (methods/*.output_size; DORN and BTS have
+    dedicated benches). One entry per reference model family."""
+    from mono_depth_estimation_tpu.models.eigen import Eigen
+    from mono_depth_estimation_tpu.models.fcrn import FCRN
+    from mono_depth_estimation_tpu.models.midas import MidasNet
+    from mono_depth_estimation_tpu.models.mynet import MyModel
+    from mono_depth_estimation_tpu.models.sharpnet import SharpNet
+    from mono_depth_estimation_tpu.models.vnl import MetricDepthModel
+
+    zoo = {
+        "eigen_240x320": (lambda: Eigen(), (240, 320), 32),
+        "fcrn50_upproj_240x320": (
+            lambda: FCRN(layers=50, decoder="upproj",
+                         output_size=(120, 160), out_channels=1),
+            (240, 320), 32),
+        "midas_384x384": (lambda: MidasNet(), (384, 384), 16),
+        "vnl_385x385": (lambda: MetricDepthModel(), (385, 385), 16),
+        "sharpnet_240x320": (
+            lambda: SharpNet(use_depth=True, use_normals=True,
+                             use_boundary=True), (240, 320), 32),
+        "mynet_384x384": (lambda: MyModel(input_size=(384, 384)),
+                          (384, 384), 16),
+    }
+    out = {}
+    for name, (build, size, batch) in zoo.items():
+        try:
+            ips, roof = _steady_eval(build(), size, batch)
+            out[name] = {"images_per_sec": round(ips, 1), "batch": batch,
+                         "mfu": round(roof["mfu"], 4),
+                         "hbm_bw_util": round(roof["bw_util"], 4)}
+        except Exception as e:  # keep the sweep going; record the failure
+            out[name] = {"error": str(e)[:200]}
+    return out
+
+
 def bench_jax_bts() -> float:
     import jax
     import jax.numpy as jnp
@@ -440,6 +515,10 @@ def main():
             )
         except Exception:
             pass
+        try:
+            extra["zoo_eval"] = bench_zoo()
+        except Exception as e:
+            extra["zoo_error"] = str(e)[:300]
         if extra:
             EXTRA_FILE.write_text(json.dumps(extra))
 

@@ -62,23 +62,51 @@ def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
     ) * w[:, None]
 
 
-def _resize_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+def _resize_align_corners(
+    x: jax.Array, size: tuple[int, int], force: str | None = None
+) -> jax.Array:
     """torch F.interpolate(..., align_corners=True) semantics.
 
-    Computed as two small matmuls (separable interpolation: ``M_h @ x`` then
-    ``x @ M_w^T``) rather than four spatial gathers — the matmuls ride the
-    MXU and avoid materializing 4 output-sized corner tensors in HBM
-    (measured: the DORN headline's 33x45 -> 257x353 x136ch tail was the
-    gather form's largest cost). f32 accumulation, cast back to x.dtype —
-    same float math as the gather form (products were f32-promoted there)."""
+    Two implementations, same float math (gather products were f32-promoted;
+    the matmuls accumulate f32), dispatched by backend:
+
+    * TPU: two small matmuls (separable interpolation, ``M_h @ x`` then
+      ``x @ M_w^T``) riding the MXU instead of materializing 4 output-sized
+      corner tensors in HBM — the DORN headline's 33x45 -> 257x353 x136ch
+      tail drops 14.9 -> 0.95 ms (kernel_bench.json), eval 352 -> 481 img/s.
+    * CPU (tests, tooling): the 4-corner gather — dense interpolation
+      matrices are ~in_dim x more FLOPs than the 4 gathers, a bad trade off
+      the MXU. ``force`` ('matmul'/'gather') pins the form for tests."""
     in_h, in_w = x.shape[-3], x.shape[-2]
     out_h, out_w = size
-    mh = _interp_matrix(in_h, out_h)
-    mw = _interp_matrix(in_w, out_w)
-    xf = x.astype(jnp.float32)
-    y = jnp.einsum("oh,...hwc->...owc", mh, xf)
-    out = jnp.einsum("pw,...hwc->...hpc", mw, y)
-    return out.astype(x.dtype)
+    impl = force or ("matmul" if jax.default_backend() != "cpu" else "gather")
+    if impl == "matmul":
+        mh = _interp_matrix(in_h, out_h)
+        mw = _interp_matrix(in_w, out_w)
+        xf = x.astype(jnp.float32)
+        y = jnp.einsum("oh,...hwc->...owc", mh, xf)
+        out = jnp.einsum("pw,...hwc->...hpc", mw, y)
+        return out.astype(x.dtype)
+
+    def coords(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        scale = (n_in - 1) / (n_out - 1)
+        return jnp.arange(n_out, dtype=jnp.float32) * scale
+
+    yy, xx = coords(in_h, out_h), coords(in_w, out_w)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, in_h - 1)
+    y1 = jnp.clip(y0 + 1, 0, in_h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, in_w - 1)
+    x1 = jnp.clip(x0 + 1, 0, in_w - 1)
+    wy = (yy - y0.astype(jnp.float32))[:, None, None]
+    wx = (xx - x0.astype(jnp.float32))[None, :, None]
+    rows0, rows1 = jnp.take(x, y0, axis=-3), jnp.take(x, y1, axis=-3)
+    p00, p01 = jnp.take(rows0, x0, axis=-2), jnp.take(rows0, x1, axis=-2)
+    p10, p11 = jnp.take(rows1, x0, axis=-2), jnp.take(rows1, x1, axis=-2)
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return (top * (1 - wy) + bot * wy).astype(x.dtype)
 
 
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:

@@ -15,6 +15,7 @@ import torch.nn.functional as F
 from mono_depth_estimation_tpu.ops.resize import resize_bilinear
 
 
+@pytest.mark.parametrize("impl", ["matmul", "gather"])
 @pytest.mark.parametrize(
     "in_hw,out_hw",
     [
@@ -26,11 +27,13 @@ from mono_depth_estimation_tpu.ops.resize import resize_bilinear
         ((8, 8), (8, 8)),        # identity
     ],
 )
-def test_align_corners_matches_torch(in_hw, out_hw):
+def test_align_corners_matches_torch(in_hw, out_hw, impl):
+    from mono_depth_estimation_tpu.ops.resize import _resize_align_corners
+
     rng = np.random.default_rng(sum(in_hw) + sum(out_hw))
     x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
 
-    ours = resize_bilinear(jnp.asarray(x), out_hw, align_corners=True)
+    ours = _resize_align_corners(jnp.asarray(x), out_hw, force=impl)
 
     t = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
     ref = F.interpolate(t, size=out_hw, mode="bilinear", align_corners=True)

@@ -184,9 +184,60 @@ def bench_upconv(results):
             results[k]["note"] = "pallas_ms column is the fused dilated form"
 
 
+def bench_resize(results):
+    """align-corners bilinear resize: the r1 gather form (four output-sized
+    corner tensors via jnp.take) vs the matmul form shipped in
+    ops/resize.py (two interpolation matmuls on the MXU). Shapes: the DORN
+    headline tail (33x45 -> 257x353, 136ch, b16) and the FCRN output head.
+    The matmul form won end-to-end too: DORN eval 351.8 -> 481.2 img/s @ b8."""
+    from mono_depth_estimation_tpu.ops.resize import resize_bilinear
+
+    def gather_form(x, size):
+        in_h, in_w = x.shape[-3], x.shape[-2]
+        out_h, out_w = size
+        yy = jnp.arange(out_h, dtype=jnp.float32) * ((in_h - 1) / (out_h - 1))
+        xx = jnp.arange(out_w, dtype=jnp.float32) * ((in_w - 1) / (out_w - 1))
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, in_h - 1)
+        y1 = jnp.clip(y0 + 1, 0, in_h - 1)
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, in_w - 1)
+        x1 = jnp.clip(x0 + 1, 0, in_w - 1)
+        wy = (yy - y0.astype(jnp.float32))[:, None, None]
+        wx = (xx - x0.astype(jnp.float32))[None, :, None]
+        rows0, rows1 = jnp.take(x, y0, axis=-3), jnp.take(x, y1, axis=-3)
+        p00, p01 = jnp.take(rows0, x0, axis=-2), jnp.take(rows0, x1, axis=-2)
+        p10, p11 = jnp.take(rows1, x0, axis=-2), jnp.take(rows1, x1, axis=-2)
+        top = p00 * (1 - wx) + p01 * wx
+        bot = p10 * (1 - wx) + p11 * wx
+        return (top * (1 - wy) + bot * wy).astype(x.dtype)
+
+    for tag, in_hw, out_hw, c, b in [
+        ("dorn_tail", (33, 45), (257, 353), 136, 16),
+        ("fcrn_head", (120, 160), (240, 320), 1, 32),
+    ]:
+        def make(k, in_hw=in_hw, c=c, b=b):
+            return (jax.random.uniform(k, (b, *in_hw, c), jnp.bfloat16),)
+
+        bench_pair(
+            f"resize_ac_{tag}_{in_hw[0]}x{in_hw[1]}->{out_hw[0]}x{out_hw[1]}",
+            make,
+            lambda xs, out_hw=out_hw: gather_form(xs[0], out_hw),
+            lambda xs, out_hw=out_hw: resize_bilinear(
+                xs[0], out_hw, align_corners=True
+            ),
+            results,
+        )
+    for k in list(results):
+        if k.startswith("resize_ac"):
+            results[k]["note"] = (
+                "xla_ms = r1 gather form, pallas_ms = matmul form "
+                "(both XLA; ops/resize.py ships the matmul form)"
+            )
+
+
 def main():
     out = {}
-    for bench in (bench_lpg, bench_preproc, bench_upproj, bench_upconv):
+    for bench in (bench_lpg, bench_preproc, bench_upproj, bench_upconv,
+                  bench_resize):
         try:
             bench(out)
         except Exception as e:  # record partial results + the failure
