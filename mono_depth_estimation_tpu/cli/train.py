@@ -99,7 +99,14 @@ def main(argv=None):
     n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
     n_dev = min(n_dev, len(jax.devices()))
     mp = max(1, getattr(args.globals, "model_parallel", 1))
-    mesh = make_mesh(n_data=max(1, n_dev // mp), n_model=mp)
+    assert mp <= n_dev, (
+        f"--model_parallel {mp} exceeds the available device count {n_dev}"
+    )
+    assert n_dev % mp == 0, (
+        f"--gpus {n_dev} must be divisible by --model_parallel {mp} "
+        f"(the 2-D mesh would silently drop {n_dev % mp} devices)"
+    )
+    mesh = make_mesh(n_data=n_dev // mp, n_model=mp)
 
     method = get_method(args)
     trainer = Trainer(

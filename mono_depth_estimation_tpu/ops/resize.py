@@ -76,17 +76,40 @@ def _resize_align_corners(
       tail drops 14.9 -> 0.95 ms (kernel_bench.json), eval 352 -> 481 img/s.
     * CPU (tests, tooling): the 4-corner gather — dense interpolation
       matrices are ~in_dim x more FLOPs than the 4 gathers, a bad trade off
-      the MXU. ``force`` ('matmul'/'gather') pins the form for tests."""
+      the MXU. ``force`` ('matmul'/'gather') pins the form for tests.
+
+    The choice is made per LOWERING platform (lax.platform_dependent), not
+    per trace-time backend, so a multi-platform jax.export artifact gets the
+    right form on each platform (tools/export_model.py --platforms). The
+    matmuls run at Precision.HIGHEST: default TPU matmul precision truncates
+    f32 operands to bf16, which would break the torch align_corners parity
+    the gather form (and tests/test_resize.py) pins; the interp matrices are
+    tiny so full precision costs nothing against the measured 15x win."""
     in_h, in_w = x.shape[-3], x.shape[-2]
     out_h, out_w = size
-    impl = force or ("matmul" if jax.default_backend() != "cpu" else "gather")
-    if impl == "matmul":
+
+    def _matmul(x):
         mh = _interp_matrix(in_h, out_h)
         mw = _interp_matrix(in_w, out_w)
         xf = x.astype(jnp.float32)
-        y = jnp.einsum("oh,...hwc->...owc", mh, xf)
-        out = jnp.einsum("pw,...hwc->...hpc", mw, y)
+        y = jnp.einsum("oh,...hwc->...owc", mh, xf,
+                       precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("pw,...hwc->...hpc", mw, y,
+                         precision=jax.lax.Precision.HIGHEST)
         return out.astype(x.dtype)
+
+    if force is None:
+        return jax.lax.platform_dependent(
+            x, cpu=lambda x: _gather_align_corners(x, size), default=_matmul
+        )
+    if force == "matmul":
+        return _matmul(x)
+    return _gather_align_corners(x, size)
+
+
+def _gather_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    out_h, out_w = size
 
     def coords(n_in, n_out):
         if n_out == 1 or n_in == 1:

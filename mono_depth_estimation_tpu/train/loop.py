@@ -333,7 +333,15 @@ class Trainer:
                         val_loss = -float(val_metrics["val_delta1"])
                     self.logger.log(val_metrics, step=self.global_step)
                     if not math.isnan(val_loss):
-                        self.ckpt.save(self.state, epoch, val_loss)
+                        saved = self.ckpt.save(self.state, epoch, val_loss)
+                        if saved is not None:
+                            # reference train.py:100 log_model=True uploads
+                            # every improved checkpoint as a W&B artifact
+                            self.logger.log_artifact(
+                                saved, kind="model",
+                                metadata={"epoch": epoch,
+                                          "val_loss": val_loss},
+                            )
                     mon = val_metrics.get(self.plateau_monitor)
                     if mon is not None and self.plateau.step(float(mon)):
                         base_lr = float(self.method.method.learning_rate)

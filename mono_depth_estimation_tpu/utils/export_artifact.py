@@ -137,8 +137,11 @@ def load_artifact(artifact_dir):
     from jax import export as jax_export
 
     d = Path(artifact_dir)
-    exported = jax_export.deserialize(d.read_bytes() if d.is_file()
-                                      else (d / "model.stablehlo").read_bytes())
+    if d.is_file():  # a bare model.stablehlo path: siblings live next to it
+        exported = jax_export.deserialize(d.read_bytes())
+        d = d.parent
+    else:
+        exported = jax_export.deserialize((d / "model.stablehlo").read_bytes())
     variables = serialization.msgpack_restore((d / "params.msgpack").read_bytes())
     meta = json.loads((d / "meta.json").read_text())
 

@@ -16,8 +16,51 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".jax_cache")
 
 
+def _machine_tag() -> str:
+    """Per-machine cache subdirectory key for CPU-compiling processes.
+
+    XLA:CPU AOT artifacts embed the compiling machine's CPU features; loading
+    one compiled elsewhere warns ``cpu_aot_loader: Compile machine features
+    ... doesn't match ... could lead to execution errors such as SIGILL``
+    (seen in round 2's driver tail). Keying the cache dir by a hash of the
+    host's cpuinfo feature flags (plus arch) makes cross-machine reuse
+    structurally impossible instead of correct-by-luck."""
+    import hashlib
+    import platform as _pf
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(f"{_pf.machine()}|{feats}".encode()).hexdigest()[:12]
+    return f"{_pf.machine()}-{h}"
+
+
+def _may_compile_for_cpu() -> bool:
+    """True unless the process platform config explicitly names only
+    non-cpu platforms (e.g. the preset ``JAX_PLATFORMS=axon`` TPU tunnel).
+    TPU executables are compiled FOR the device and are machine-portable, so
+    they keep the shared cache dir (warm across rounds/machines); anything
+    that might lower for the host CPU gets the per-machine subdir."""
+    plats = None
+    try:
+        plats = jax.config.jax_platforms
+    except Exception:
+        pass
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    names = [p.strip().lower() for p in plats.split(",") if p.strip()]
+    return not names or "cpu" in names
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get("MDE_JAX_CACHE", _DEFAULT_CACHE)
+    if _may_compile_for_cpu():
+        cache_dir = os.path.join(cache_dir, _machine_tag())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

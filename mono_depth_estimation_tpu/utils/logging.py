@@ -42,6 +42,34 @@ class RunLogger:
         if self._wandb is not None:
             self._wandb.log(payload, step=step)
 
+    def log_artifact(self, path, kind: str = "model",
+                     metadata: dict | None = None) -> None:
+        """Records a produced artifact (checkpoint, export) — the JSONL
+        mirror of the reference's ``WandbLogger(log_model=True)`` checkpoint
+        upload (reference train.py:100). With wandb importable the artifact
+        is also uploaded via ``wandb.log_artifact``."""
+        record = {"_time": time.time(), "_artifact": str(path), "kind": kind}
+        if metadata:
+            record.update(
+                {k: (float(v) if hasattr(v, "__float__") else v)
+                 for k, v in metadata.items()}
+            )
+        self.file.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                art = wandb.Artifact(
+                    Path(path).name.replace("=", "_"), type=kind,
+                    metadata=metadata or {},
+                )
+                art.add_dir(str(path)) if Path(path).is_dir() else (
+                    art.add_file(str(path))
+                )
+                self._wandb.log_artifact(art)
+            except Exception:
+                pass
+
     def log_hparams(self, hparams: dict) -> None:
         (self.run_dir / "hparams.json").write_text(
             json.dumps(hparams, default=str, indent=2)

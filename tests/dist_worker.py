@@ -50,6 +50,18 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
+
+def barrier(name: str, timeout_s: int = 900) -> None:
+    """Coordination-service (KV, not Gloo) barrier. The Gloo rendezvous for a
+    collective gives peers only ~30 s to arrive (GetKeyValue timeout); on a
+    loaded host a compile-cache hit/miss asymmetry between workers exceeds
+    that easily (round-2 verdict). Compiling AOT and barriering here means
+    both processes enter every Gloo collective within milliseconds."""
+    if nprocs > 1:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+
 import __graft_entry__ as g  # noqa: E402
 from mono_depth_estimation_tpu.parallel.mesh import (  # noqa: E402
     batch_sharding,
@@ -88,12 +100,18 @@ batch = tuple(
 )
 
 with mesh:
-    state, loss, *_ = train_step(state, batch, jax.random.PRNGKey(1))
+    step_key = jax.random.PRNGKey(1)
+    # AOT-compile the heavy program BEFORE its Gloo collectives run, then
+    # align the processes; execution skew at the collective is then only ms.
+    train_step_c = train_step.lower(state, batch, step_key).compile()
+    barrier("train_step_compiled")
+    state, loss, *_ = train_step_c(state, batch, step_key)
+    loss = float(jax.device_get(loss.addressable_data(0)))  # sync point
+    barrier("train_step_done")
     sq = jax.jit(
         lambda p: sum(jnp.sum(jnp.square(a)) for a in jax.tree.leaves(p)),
         out_shardings=NamedSharding(mesh, P()),
     )(state.params)
-    loss = float(jax.device_get(loss.addressable_data(0)))
     pnorm = float(np.sqrt(jax.device_get(sq.addressable_data(0))))
 
 assert np.isfinite(loss) and np.isfinite(pnorm)

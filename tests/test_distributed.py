@@ -40,17 +40,28 @@ def _run(nprocs: int, tmp_path) -> dict:
         )
         for i in range(nprocs)
     ]
-    logs = [p.communicate(timeout=600)[0] for p in procs]
+    logs = [p.communicate(timeout=900)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log}"
     with open(out) as f:
         return json.load(f)
 
 
+def _run_retry(nprocs: int, tmp_path, attempts: int = 2) -> dict:
+    for attempt in range(attempts):
+        try:
+            return _run(nprocs, tmp_path)
+        except (AssertionError, subprocess.TimeoutExpired):
+            if attempt == attempts - 1:
+                raise
+            print(f"distributed run nprocs={nprocs} failed, retrying once")
+    raise RuntimeError("unreachable")
+
+
 @pytest.mark.slow
 def test_two_process_train_step_matches_single_process(tmp_path):
-    ref = _run(1, tmp_path)
-    dist = _run(2, tmp_path)
+    ref = _run_retry(1, tmp_path)
+    dist = _run_retry(2, tmp_path)
     assert np.isclose(ref["loss"], dist["loss"], rtol=1e-5, atol=1e-6), (
         ref, dist,
     )

@@ -53,6 +53,10 @@ def test_export_roundtrip_and_dynamic_batch(tmp_path):
     predict, loaded_vars, meta = load_artifact(out)
     assert meta["method"] == "toy" and meta["platforms"] == ["cpu"]
 
+    # a bare model.stablehlo path resolves siblings from its directory
+    predict_f, _, meta_f = load_artifact(out / "model.stablehlo")
+    assert meta_f["method"] == "toy"
+
     want = model.apply(variables, jnp.asarray(x), train=False)
     got = predict(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got["y_hat"]), np.asarray(want),

@@ -59,6 +59,10 @@ class _StdepthStyleDataset(SyntheticDepthDataset):
 
 @pytest.mark.slow
 def test_fit_fast_dev_run(tmp_path):
+    import json
+
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
     method = _make_method()
     mesh = make_mesh()
     assert mesh.devices.size == 8  # conftest forces 8 CPU devices
@@ -74,13 +78,35 @@ def test_fit_fast_dev_run(tmp_path):
         checkpoint_root=str(tmp_path / "ckpts"),
         worker=0,
         mesh=mesh,
+        logger=RunLogger(tmp_path, use_wandb=False),
     )
-    trainer.logger.run_dir = tmp_path
     state = trainer.fit(train_ds, val_ds)
     assert int(state.step) == 1
     # checkpoint written with val_loss-encoded name
     ckpts = list((tmp_path / "ckpts" / "test_run").glob("epoch=*val_loss=*.ckpt"))
     assert len(ckpts) == 1
+    # ... and recorded as a model artifact (reference log_model=True,
+    # train.py:100)
+    records = [json.loads(l) for l in
+               (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    arts = [r for r in records if "_artifact" in r]
+    assert len(arts) == 1 and arts[0]["_artifact"] == str(ckpts[0])
+    assert arts[0]["kind"] == "model" and "val_loss" in arts[0]
+
+
+def test_log_artifact_jsonl(tmp_path):
+    import json
+
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+    logger = RunLogger(tmp_path, use_wandb=False)
+    logger.log_artifact(tmp_path / "x.ckpt", metadata={"epoch": 3,
+                                                       "val_loss": 0.5})
+    logger.close()
+    (rec,) = [json.loads(l) for l in
+              (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert rec["_artifact"].endswith("x.ckpt")
+    assert rec["kind"] == "model" and rec["epoch"] == 3.0
 
 
 @pytest.mark.slow
