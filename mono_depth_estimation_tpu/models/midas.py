@@ -44,6 +44,15 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusionBlock(nn.Module):
+    """Reference quirk kept for weight parity: MiDaS.py:183 builds its
+    ResidualConvUnit with ``nn.ReLU(inplace=True)``, so ``out = relu(x)``
+    at MiDaS.py:191 MUTATES the residual input and the unit actually
+    computes ``conv_path(relu(x)) + relu(x)`` — i.e. the clean RCU applied
+    to relu(x). Released/reference-trained MiDaS weights implement exactly
+    that function, so we pre-relu here instead of copying the in-place
+    behavior. (MyNet's vendored copy uses inplace=False, MyNet.py:219 —
+    its FusionRefine keeps the clean RCU.)"""
+
     features: int
 
     @nn.compact
@@ -54,10 +63,10 @@ class FeatureFusionBlock(nn.Module):
         rcu2 = ResidualConvUnit(self.features)
         out = x
         if skip is not None:
-            out = out + rcu1(skip)
+            out = out + rcu1(nn.relu(skip))
         else:
             _ = rcu1(jnp.zeros_like(out))  # materialize params, fold away
-        out = rcu2(out)
+        out = rcu2(nn.relu(out))
         h, w = out.shape[1] * 2, out.shape[2] * 2
         return resize_bilinear(out, (h, w), align_corners=True)
 

@@ -28,16 +28,31 @@ def _machine_tag() -> str:
     import hashlib
     import platform as _pf
 
-    feats = ""
+    # The flags line alone is NOT enough: round-3 found two virtualized
+    # hosts with byte-identical flags lines whose AOT artifacts still
+    # mismatched on LLVM *tuning* features (+prefer-no-scatter/gather),
+    # which LLVM derives from CPUID family/model/stepping — so those lines
+    # (plus model name and the jaxlib version) go into the hash too.
+    wanted = ("flags", "Features", "model name", "cpu family", "model\t",
+              "model:", "stepping")
+    lines: list[str] = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats = line.strip()
-                    break
+                if line.startswith(wanted):
+                    lines.append(line.strip())
+                if line.strip() == "":
+                    break  # first core only; all cores are identical
     except OSError:
         pass
-    h = hashlib.sha1(f"{_pf.machine()}|{feats}".encode()).hexdigest()[:12]
+    try:
+        import jaxlib
+
+        lines.append(f"jaxlib={jaxlib.__version__}")
+    except Exception:
+        pass
+    key = "|".join([_pf.machine()] + lines)
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
     return f"{_pf.machine()}-{h}"
 
 

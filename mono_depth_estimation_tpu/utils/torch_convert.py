@@ -93,7 +93,33 @@ def reorder_vnl_keys(sd: dict) -> dict:
     return {k: sd[k] for k in ordered}
 
 
-REORDERERS = {"vnl": reorder_vnl_keys}
+def reorder_mynet_keys(sd: dict) -> dict:
+    """Reorders a MyNet state_dict into this framework's creation order.
+
+    The reference's custom Conv2d block (network/MyNet.py:4-15) REGISTERS
+    conv before bn but APPLIES elu -> bn -> conv; our ELUBNConv creates its
+    BatchNorm params first (call order). Move each ``<p>.bn.*`` group in
+    front of its sibling ``<p>.conv.weight``."""
+    keys = list(sd)
+    ks = set(keys)
+    out, moved = [], set()
+    for k in keys:
+        if k in moved:
+            continue
+        if k.endswith(".conv.weight"):
+            p = k[: -len(".conv.weight")]
+            if f"{p}.bn.weight" in ks:
+                for s in ("weight", "bias", "running_mean", "running_var",
+                          "num_batches_tracked"):
+                    b = f"{p}.bn.{s}"
+                    if b in ks:
+                        out.append(b)
+                        moved.add(b)
+        out.append(k)
+    return {k: sd[k] for k in out}
+
+
+REORDERERS = {"vnl": reorder_vnl_keys, "mynet": reorder_mynet_keys}
 
 
 def _torch_stream(sd: dict):
@@ -121,8 +147,17 @@ def classify_flax_leaf(path: tuple[str, ...], shape) -> str:
     return "other"
 
 
+def _chw_to_hwc_index(c: int, h: int, w: int) -> np.ndarray:
+    """Index vector i such that flat_hwc = flat_chw[i]."""
+    return (
+        np.arange(c * h * w).reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+    )
+
+
 def convert_tensor(kind: str, torch_arr: np.ndarray, target_shape,
-                   dense_chw: tuple[int, int, int] | None = None) -> np.ndarray:
+                   dense_chw: tuple[int, int, int] | None = None,
+                   dense_out_chw: tuple[int, int, int] | None = None
+                   ) -> np.ndarray:
     if kind == "conv":
         out = np.transpose(torch_arr, (2, 3, 1, 0))
     elif kind == "convT":
@@ -130,14 +165,12 @@ def convert_tensor(kind: str, torch_arr: np.ndarray, target_shape,
     elif kind == "dense":
         w = torch_arr
         if dense_chw is not None:
-            c, h, wd = dense_chw
-            idx = (
-                np.arange(c * h * wd)
-                .reshape(c, h, wd)
-                .transpose(1, 2, 0)
-                .reshape(-1)
-            )
-            w = w[:, idx]
+            w = w[:, _chw_to_hwc_index(*dense_chw)]
+        if dense_out_chw is not None:
+            # torch rows enumerate an NCHW reshape of the OUTPUT (e.g.
+            # Eigen's mlp2 -> reshape(-1, 64, 14, 19), Eigen.py:86-87);
+            # our consumer reshapes NHWC, so permute rows CHW -> HWC.
+            w = w[_chw_to_hwc_index(*dense_out_chw), :]
         out = w.T
     else:
         out = torch_arr
@@ -147,7 +180,8 @@ def convert_tensor(kind: str, torch_arr: np.ndarray, target_shape,
     return out
 
 
-def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
+def convert_sequential(state_dict: dict, variables, dense_chw_hints=None,
+                       dense_out_chw_hints=None):
     """Aligns the torch stream with the flax variable stream in order.
 
     Args:
@@ -156,6 +190,9 @@ def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
             model.init) giving shapes and traversal order.
         dense_chw_hints: {occurrence_index: (C, H, W)} for Linear layers fed
             by an NCHW flatten.
+        dense_out_chw_hints: {occurrence_index: (C, H, W)} for Linear layers
+            whose OUTPUT is reshaped NCHW by the torch consumer (rows and
+            the following bias are permuted CHW -> HWC).
 
     Returns a new variables pytree with converted weights.
     """
@@ -176,6 +213,8 @@ def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
     dense_seen = 0
     new_params, new_bs = {}, {}
     dense_chw_hints = dense_chw_hints or {}
+    dense_out_chw_hints = dense_out_chw_hints or {}
+    pending_bias_perm: dict[tuple, np.ndarray] = {}
 
     def next_torch(expect_dims=None, name_has=None):
         nonlocal ti
@@ -198,8 +237,12 @@ def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
         elif kind == "dense":
             name, arr = next_torch(expect_dims=(2,))
             hint = dense_chw_hints.get(dense_seen)
+            out_hint = dense_out_chw_hints.get(dense_seen)
             dense_seen += 1
-            new_params[path] = convert_tensor("dense", arr, leaf.shape, hint)
+            new_params[path] = convert_tensor("dense", arr, leaf.shape, hint,
+                                              out_hint)
+            if out_hint is not None:
+                pending_bias_perm[path[:-1]] = _chw_to_hwc_index(*out_hint)
         elif kind == "bn_scale":
             name, arr = next_torch(expect_dims=(1,))
             assert "weight" in name, name
@@ -218,7 +261,8 @@ def convert_sequential(state_dict: dict, variables, dense_chw_hints=None):
             if path in new_params:
                 continue  # BN bias already consumed
             name, arr = next_torch(expect_dims=(1,))
-            new_params[path] = arr
+            perm = pending_bias_perm.pop(path[:-1], None)
+            new_params[path] = arr if perm is None else arr[perm]
         else:
             raise ValueError(f"unhandled flax leaf {path} {leaf.shape}")
 
