@@ -105,6 +105,7 @@ def vnl_loss(
     cfg: VNLConfig,
     key: jax.Array,
     select: bool = True,
+    p123: jax.Array | None = None,
 ) -> jax.Array:
     """Virtual-normal loss (criteria.py:1011-1045).
 
@@ -113,6 +114,16 @@ def vnl_loss(
         key: PRNG key for the point sampling (the reference uses np.random;
             we thread explicit keys).
         select: drop the smallest 25% of group losses (reference default).
+        p123: optional (3, N) flat pixel indices overriding the sampling —
+            everything after the draw is deterministic, so injecting the
+            same groups into the reference proves tail parity
+            (tests/test_reference_parity.py::test_vnl_loss_tail_parity).
+
+    Reference quirk NOT copied: criteria.py:1004's z==0 guard indexes the
+    (B, N, coords, points) prediction groups with a (B, N, points) boolean
+    mask, so torch treats the POINT index as the COORDS axis and overwrites
+    coordinate k of all three points whenever point k has z == 0. We guard
+    the z coordinate of the offending point, which is what the guard is for.
     """
     if gt_depth.ndim == 4:
         gt_depth = gt_depth[..., 0]
@@ -124,7 +135,8 @@ def vnl_loss(
     xyz_gt = transfer_xyz(gt_depth, cfg)
     xyz_pred = transfer_xyz(pred_depth, cfg)
 
-    p123 = _sample_indices(key, cfg)
+    if p123 is None:
+        p123 = _sample_indices(key, cfg)
     pw_gt = _form_groups(xyz_gt, p123)
     pw_pred = _form_groups(xyz_pred, p123)
     valid = _filter_mask(pw_gt, cfg)  # (B, N)

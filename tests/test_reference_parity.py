@@ -193,3 +193,64 @@ def test_wcel_parity():
         )
     )
     assert np.isclose(ours, ref, rtol=1e-4), (ours, ref)
+
+
+@pytest.mark.parametrize("select", [True, False])
+@pytest.mark.parametrize("batch", [1, 2])
+def test_vnl_loss_tail_parity(select, batch):
+    """VNL_Loss deterministic tail (criteria.py:955-1045): inject identical
+    3-point index groups into the reference (select_index monkeypatched) and
+    ours (p123 kwarg) — the colinear/near-point filtering, virtual-normal
+    comparison, and keep-worst-75% selection must agree numerically. Only
+    the np.random draw itself is nondeterministic; everything after is pure.
+    """
+    import jax
+
+    from mono_depth_estimation_tpu.losses.vnl import VNLConfig, vnl_loss
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 20
+    # smooth surface + small focal: with uniform-random depth every
+    # difference vector is z-dominant and the |cos|>0.867 filter ignores
+    # ALL groups (both sides agree, but the tail is then untested). This
+    # input yields ~12/48 valid groups, so every filter branch fires.
+    fx = fy = 25.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    gt = np.broadcast_to(
+        2.0 + 0.4 * np.sin(xx / 3.0) + 0.4 * np.cos(yy / 2.5), (batch, h, w)
+    ) + 0.05 * rng.normal(size=(batch, h, w))
+    gt = gt.astype(np.float32)
+    gt[rng.uniform(size=gt.shape) < 0.15] = 0.0  # exercise mask_pad
+    # a few exact duplicates exercise the near-point filter
+    gt[:, 5, 5] = gt[:, 5, 6]
+    pred = np.clip(gt + rng.normal(0, 0.4, gt.shape), 0.05, 12).astype(
+        np.float32
+    )
+
+    n = int(h * w * 0.15)
+    p = rng.integers(0, h * w, (3, n))
+    p123 = {
+        "p1_x": p[0] % w, "p1_y": p[0] // w,
+        "p2_x": p[1] % w, "p2_y": p[1] // w,
+        "p3_x": p[2] % w, "p3_y": p[2] // w,
+    }
+
+    vl = criteria.VNL_Loss(fx, fy, (h, w))
+    vl.select_index = lambda: p123  # bypass the np.random draw only
+    ref = vl(
+        torch.from_numpy(gt).unsqueeze(1),
+        torch.from_numpy(pred).unsqueeze(1),
+        select=select,
+    ).item()
+
+    ours = float(
+        vnl_loss(
+            jnp.asarray(gt),
+            jnp.asarray(pred),
+            VNLConfig(focal_x=fx, focal_y=fy, input_size=(h, w)),
+            key=jax.random.PRNGKey(0),
+            select=select,
+            p123=jnp.asarray(p),
+        )
+    )
+    assert np.isclose(ours, ref, rtol=1e-4, atol=1e-5), (ours, ref)
