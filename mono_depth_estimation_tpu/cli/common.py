@@ -65,6 +65,20 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
         "(parallel/model_sharding.py) — Eigen's VGG FC pair and DORN's "
         "FullImageEncoder FC",
     )
+    parser.add_argument(
+        "--pipeline_stages", type=int, default=1,
+        help="GPipe-pipeline the homogeneous tail of the encoder's deepest "
+        "stage over the mesh model axis at EVAL time (DORN: the 22 "
+        "identical dilated layer3 blocks; parallel/pipeline.py). >1 lays "
+        "the stages out on a (gpus/S, S) mesh; must divide the tail "
+        "block count (22 -> 2, 11 or 22)",
+    )
+    parser.add_argument(
+        "--spatial", type=int, default=1,
+        help="shard the image H axis over N devices at EVAL time for "
+        "images too large for one chip's HBM (GSPMD inserts the conv halo "
+        "exchanges; parallel/spatial.py). H must be divisible by N",
+    )
     parser.add_argument("--dev", action="store_true", help="Fast dev run")
     parser.add_argument("--overfit", action="store_true", help="Overfit 1 batch")
     parser.add_argument("--min_epochs", default=5, type=int)
@@ -158,6 +172,34 @@ def derive_globals(args):
     args.globals.depth_method = args.depth_method
     args.globals.metrics = list(args.globals.metrics)
     return args
+
+
+def build_mesh(globals_ns):
+    """('data','model') mesh from the global flags — the model axis hosts
+    either Megatron tensor parallelism (--model_parallel) or the GPipe
+    pipeline (--pipeline_stages); clear errors instead of silently dropped
+    devices (mesh width must divide --gpus)."""
+    import jax
+
+    from mono_depth_estimation_tpu.parallel.mesh import make_mesh
+
+    n_dev = globals_ns.gpus if getattr(globals_ns, "gpus", 1) > 0 else 1
+    n_dev = min(n_dev, len(jax.devices()))
+    mp = max(1, getattr(globals_ns, "model_parallel", 1))
+    pp = max(1, getattr(globals_ns, "pipeline_stages", 1))
+    assert mp == 1 or pp == 1, (
+        "--model_parallel and --pipeline_stages both claim the mesh model "
+        "axis; use one"
+    )
+    n_model = max(mp, pp)
+    assert n_model <= n_dev, (
+        f"model-axis width {n_model} exceeds the available device count {n_dev}"
+    )
+    assert n_dev % n_model == 0, (
+        f"--gpus {n_dev} must be divisible by the model-axis width {n_model} "
+        f"(the 2-D mesh would silently drop {n_dev % n_model} devices)"
+    )
+    return make_mesh(n_data=n_dev // n_model, n_model=n_model)
 
 
 def maybe_init_distributed(args) -> None:

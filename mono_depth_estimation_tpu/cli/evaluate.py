@@ -10,20 +10,19 @@ from __future__ import annotations
 import jax
 
 from mono_depth_estimation_tpu.cli.common import (
+    build_mesh,
     build_parser,
     derive_globals,
     parse_args_into_namespaces,
 )
 from mono_depth_estimation_tpu.methods import get_method
-from mono_depth_estimation_tpu.parallel.mesh import make_mesh
 from mono_depth_estimation_tpu.train.loop import Trainer
 
 
 def run_test(args, write_predictions=False):
     derive_globals(args)
     method = get_method(args)
-    n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
-    mesh = make_mesh(n_data=min(n_dev, len(jax.devices())))
+    mesh = build_mesh(args.globals)
     trainer = Trainer(
         method,
         metrics=args.globals.metrics,
@@ -31,6 +30,7 @@ def run_test(args, write_predictions=False):
         run_name=args.globals.name or "eval",
         worker=args.globals.worker,
         mesh=mesh,
+        spatial=getattr(args.globals, "spatial", 1),
     )
     _, _, test_ds = method.build_datasets([], [], args.test)
     _, _, test_loader = trainer._loaders(None, None, test_ds)

@@ -19,13 +19,14 @@ import numpy as np
 import jax
 
 from mono_depth_estimation_tpu.cli.common import (
+    build_mesh,
     build_parser,
     derive_globals,
     parse_args_into_namespaces,
 )
 from mono_depth_estimation_tpu.data.base import BaseDataset
 from mono_depth_estimation_tpu.methods import get_method
-from mono_depth_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+from mono_depth_estimation_tpu.parallel.mesh import shard_batch
 from mono_depth_estimation_tpu.train.loop import Trainer
 
 
@@ -57,8 +58,7 @@ def main(argv=None):
     pred_path.mkdir(parents=True, exist_ok=True)
 
     method = get_method(args)
-    n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
-    mesh = make_mesh(n_data=min(n_dev, len(jax.devices())))
+    mesh = build_mesh(args.globals)
     trainer = Trainer(
         method,
         metrics=args.globals.metrics,
@@ -66,6 +66,7 @@ def main(argv=None):
         run_name=args.globals.name or "infer",
         worker=args.globals.worker,
         mesh=mesh,
+        spatial=getattr(args.globals, "spatial", 1),
     )
 
     if args.globals.inputs:

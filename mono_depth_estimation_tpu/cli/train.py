@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax
 
 from mono_depth_estimation_tpu.cli.common import (
+    build_mesh,
     build_parser,
     derive_globals,
     maybe_init_distributed,
@@ -21,7 +22,6 @@ from mono_depth_estimation_tpu.cli.common import (
     seed_everything,
 )
 from mono_depth_estimation_tpu.methods import get_method
-from mono_depth_estimation_tpu.parallel.mesh import make_mesh
 from mono_depth_estimation_tpu.train.loop import Trainer
 
 
@@ -96,17 +96,7 @@ def main(argv=None):
     args.globals.seed = seed_everything(args.globals.seed)
 
     ckpt_name = name.replace("VALIDATE", "") if validate_only_prefix else name
-    n_dev = args.globals.gpus if args.globals.gpus > 0 else 1
-    n_dev = min(n_dev, len(jax.devices()))
-    mp = max(1, getattr(args.globals, "model_parallel", 1))
-    assert mp <= n_dev, (
-        f"--model_parallel {mp} exceeds the available device count {n_dev}"
-    )
-    assert n_dev % mp == 0, (
-        f"--gpus {n_dev} must be divisible by --model_parallel {mp} "
-        f"(the 2-D mesh would silently drop {n_dev % mp} devices)"
-    )
-    mesh = make_mesh(n_data=n_dev // mp, n_model=mp)
+    mesh = build_mesh(args.globals)
 
     method = get_method(args)
     trainer = Trainer(
@@ -125,6 +115,7 @@ def main(argv=None):
         run_name=ckpt_name,
         worker=args.globals.worker,
         mesh=mesh,
+        spatial=getattr(args.globals, "spatial", 1),
     )
     trainer.logger.log_hparams(
         {

@@ -36,12 +36,26 @@ class DornMethod(Method):
         return int(self.method.input_size[0])
 
     def build_model(self):
+        # --pipeline_stages S > 1: eval forwards GPipe layer3's 22 identical
+        # dilated blocks over the mesh model axis (models/dorn.py docstring);
+        # the Trainer hands us its mesh before init_variables
+        pp = max(1, int(getattr(self.globals, "pipeline_stages", 1) or 1))
+        mesh = getattr(self, "mesh", None)
+        if pp > 1:
+            assert mesh is not None, (
+                "--pipeline_stages needs the trainer mesh (set method.mesh)"
+            )
+            assert dict(mesh.shape).get("model", 1) == pp, (
+                f"mesh model axis {dict(mesh.shape)} != pipeline_stages {pp}"
+            )
         return DORN(
             ord_num=int(self.method.ord_num),
             input_size=tuple(self.method.input_size),
             kernel_size=int(self.method.kernel_size),
             pyramid=tuple(int(p) for p in self.method.pyramid),
             dropout_prob=float(self.method.dropout),
+            pipeline_stages=pp if pp > 1 else 0,
+            pipeline_mesh=mesh if pp > 1 else None,
         )
 
     def pretrained_source(self):

@@ -18,6 +18,8 @@ the ordinal axis. Dropout is interface-compatible (deterministic=not train).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -130,6 +132,12 @@ class DORN(nn.Module):
     pyramid: tuple[int, int, int] = (4, 8, 12)
     dropout_prob: float = 0.5
     frozen_bn: bool = False
+    # GPipe over the 22 identical dilated blocks of layer3 (the backbone's
+    # FLOPs bulk) — see ResNetEncoder.pipeline_stages; eval-only, exposed
+    # via the CLI --pipeline_stages flag.
+    pipeline_stages: int = 0
+    pipeline_mesh: Any = None
+    pipeline_microbatches: int = 4
 
     @nn.compact
     def __call__(
@@ -143,7 +151,10 @@ class DORN(nn.Module):
         ``pred_d, pred_ord = self(x)`` (modules/dorn.py:159). We match the
         actual semantics: label first, prob second."""
         enc = ResNetEncoder(
-            config=RESNET_PRESETS["dorn_resnet101"], frozen_bn=self.frozen_bn
+            config=RESNET_PRESETS["dorn_resnet101"], frozen_bn=self.frozen_bn,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_mesh=self.pipeline_mesh,
+            pipeline_microbatches=self.pipeline_microbatches,
         )
         feat = enc(image, train=train)[-1]
         logits = SceneUnderstandingModule(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections.abc import Sequence
+from typing import Any
 
 import jax
 from flax import linen as nn
@@ -159,6 +160,17 @@ class ResNetEncoder(nn.Module):
     config: ResNetConfig
     frozen_bn: bool = False
     in_dilation: int = 1  # running dilation carried across stages
+    # GPipe pipeline parallelism over the homogeneous tail of the DEEPEST
+    # stage (blocks 1..n-1 are iso-shape/iso-config past each stage's first
+    # block): with pipeline_stages = S > 1 and a mesh, eval forwards stream
+    # microbatches through S stages laid out on the mesh's pipeline axis
+    # (parallel/pipeline.py). Param tree layout is UNCHANGED (every block
+    # keeps its canonical name), so checkpoints/converters are oblivious.
+    # Training and init always run the sequential form.
+    pipeline_stages: int = 0
+    pipeline_mesh: Any = None
+    pipeline_axis: str = "model"
+    pipeline_microbatches: int = 4
 
     @nn.compact
     def __call__(
@@ -188,13 +200,30 @@ class ResNetEncoder(nn.Module):
 
         taps: list[jax.Array] = [stem_act]
         in_planes = 128 if cfg.stem == "deep" else 64
+        deepest = max(range(4), key=lambda s: cfg.layers[s])
+        block_cls = BottleneckBlock if cfg.bottleneck else BasicBlock
+        blk_counter = 0  # explicit names == flax auto-names, so the
+        # pipelined path can SKIP instantiating tail blocks without
+        # shifting the names of every later block
         for stage, (planes, n_blocks) in enumerate(
             zip((64, 128, 256, 512), cfg.layers)
         ):
             stride = cfg.stage_strides[stage]
             dilation = cfg.stage_dilations[stage]
             out_c = planes * cfg.expansion
+            pipe_here = (
+                self.pipeline_stages > 1
+                and stage == deepest
+                and not train
+                and not self.is_initializing()
+                and (n_blocks - 1) % self.pipeline_stages == 0
+                and n_blocks > 1
+            )
+            tail_names: list[str] = []
+            tail_kw = None
             for i in range(n_blocks):
+                name = f"{block_cls.__name__}_{blk_counter}"
+                blk_counter += 1
                 blk_dilation = (
                     1 if (cfg.dilate_only_first and i > 0) else dilation
                 )
@@ -206,14 +235,67 @@ class ResNetEncoder(nn.Module):
                     frozen_bn=self.frozen_bn,
                 )
                 if cfg.bottleneck:
-                    x = BottleneckBlock(
-                        groups=cfg.groups, base_width=cfg.base_width, **block_kw
-                    )(x, train=train)
-                else:
-                    x = BasicBlock(**block_kw)(x, train=train)
+                    block_kw.update(groups=cfg.groups, base_width=cfg.base_width)
                 in_planes = out_c
+                if pipe_here and i >= 1:
+                    tail_names.append(name)
+                    tail_kw = block_kw  # iso-config for every tail block
+                    continue
+                x = block_cls(**block_kw, name=name)(x, train=train)
+            if tail_names:
+                # parent=None: a detached functional template (applied with
+                # explicit variables), not a registered submodule
+                template = block_cls(**tail_kw, parent=None)
+                x = self._pipelined_tail(x, tail_names, template)
             taps.append(x)
         return tuple(taps)
+
+    def _pipelined_tail(self, x: jax.Array, names: list[str], template):
+        """Streams x through the named (already-initialized) homogeneous
+        blocks as an S-stage GPipe over ``pipeline_axis`` — each stage holds
+        len(names) / S consecutive blocks, parameters fetched from this
+        module's own variable collections (no relayout)."""
+        from mono_depth_estimation_tpu.parallel.pipeline import (
+            merge_microbatches,
+            pipeline_apply,
+            split_microbatches,
+            stack_stage_params,
+        )
+
+        s_count = self.pipeline_stages
+        per_stage_n = len(names) // s_count
+
+        def block_vars(nm):
+            v = {"params": self.get_variable("params", nm)}
+            bs = self.get_variable("batch_stats", nm)
+            if bs is not None:
+                v["batch_stats"] = bs
+            return v
+
+        per_stage = [
+            {
+                f"b{j}": block_vars(names[s * per_stage_n + j])
+                for j in range(per_stage_n)
+            }
+            for s in range(s_count)
+        ]
+        stage_vars = stack_stage_params(per_stage)
+
+        def stage_fn(vars_s, h):
+            for j in range(per_stage_n):
+                h = template.apply(vars_s[f"b{j}"], h, train=False)
+            return h
+
+        m = self.pipeline_microbatches
+        assert x.shape[0] % m == 0, (
+            f"eval batch {x.shape[0]} not divisible into {m} microbatches"
+        )
+        xs = split_microbatches(x, m)
+        y = pipeline_apply(
+            stage_fn, stage_vars, xs, self.pipeline_mesh,
+            axis=self.pipeline_axis,
+        )
+        return merge_microbatches(y)
 
 
 def resnet_encoder(name: str, frozen_bn: bool = False) -> ResNetEncoder:

@@ -64,6 +64,7 @@ class Trainer:
         mesh=None,
         logger: RunLogger | None = None,
         save_visualizations: bool = False,
+        spatial: int = 1,
     ):
         self.method = method
         self.metric_names = [m for m in metrics if m != "ssim"] + (
@@ -79,6 +80,11 @@ class Trainer:
         self.worker = worker
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod(self.mesh.devices.shape))
+        # --spatial N: eval batches are placed with the image H axis sharded
+        # over 'data' (instead of the batch axis) so GSPMD partitions every
+        # conv spatially with halo exchanges — large-image eval
+        # (parallel/spatial.py is the spelled-out mechanism + tests)
+        self.spatial = spatial
         self.compute_dtype = jnp.bfloat16 if precision == 16 else None
         self.remat = remat
         # metrics are per-sample (masked on host), so a bigger eval batch
@@ -143,6 +149,9 @@ class Trainer:
         """Initializes model/state and jits the steps. sample_batch is one
         host batch (numpy pytree) used for shape-driven init."""
         rng = jax.random.PRNGKey(self.seed)
+        # methods that build mesh-aware models (e.g. DORN's pipelined
+        # layer3 under --pipeline_stages) read the mesh off the method
+        self.method.mesh = self.mesh
         self.model, variables = self.method.init_variables(rng, sample_batch)
         self.optimizer = self.method.optimizer()
         params = variables["params"]
@@ -202,11 +211,28 @@ class Trainer:
         )
 
     # ------------------------------------------------------------ eval
+    def _shard_eval_batch(self, batch):
+        if self.spatial <= 1:
+            return shard_batch(batch, self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.shape["data"]
+        hshard = NamedSharding(self.mesh, P(None, "data"))
+        rep = NamedSharding(self.mesh, P())
+
+        def put(a):
+            a = np.asarray(a)
+            if a.ndim >= 3 and a.shape[1] % n == 0:
+                return jax.device_put(a, hshard)
+            return jax.device_put(a, rep)
+
+        return jax.tree.map(put, batch)
+
     def _run_eval(self, loader, step_fn, split: str):
         acc = MetricAccumulator()
         losses = []
         for batch, mask in loader:
-            dbatch = shard_batch(batch, self.mesh)
+            dbatch = self._shard_eval_batch(batch)
             results, extras = step_fn(self._eval_variables(), dbatch)
             results = jax.device_get(results)
             # one vectorized (sum, count) fold per metric per batch — the

@@ -20,11 +20,20 @@ def _machine_tag() -> str:
     """Per-machine cache subdirectory key for CPU-compiling processes.
 
     XLA:CPU AOT artifacts embed the compiling machine's CPU features; loading
-    one compiled elsewhere warns ``cpu_aot_loader: Compile machine features
-    ... doesn't match ... could lead to execution errors such as SIGILL``
-    (seen in round 2's driver tail). Keying the cache dir by a hash of the
-    host's cpuinfo feature flags (plus arch) makes cross-machine reuse
-    structurally impossible instead of correct-by-luck."""
+    one compiled elsewhere risks SIGILL. Keying the cache dir by a hash of
+    the host's CPU identity makes cross-machine reuse structurally
+    impossible instead of correct-by-luck.
+
+    Known jaxlib-0.9.0 FALSE POSITIVE, do not chase: every persistent-cache
+    CPU *hit* — including one compiled by this very machine in a previous
+    process (reproduced: jit a matmul into a fresh cache dir, reload in a
+    second process) — logs ``cpu_aot_loader.cc: Target machine feature
+    +prefer-no-scatter/+prefer-no-gather is not supported on the host``.
+    XLA appends those two LLVM *tuning preferences* for this CPU family at
+    compile time, while the loader compares against raw CPUID host features,
+    which never contain tuning prefs. The E-log is therefore expected noise
+    on warm-cache CPU runs; this machine-scoped subdir is what actually
+    guarantees no cross-machine loads."""
     import hashlib
     import platform as _pf
 
