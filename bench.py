@@ -338,6 +338,260 @@ def bench_zoo() -> dict:
     return out
 
 
+def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
+                         n=3, remat=False):
+    """Generic steady-state TRAIN-step bench (loss + grads + optimizer
+    update) for one zoo method at its reference train geometry, with
+    parser-default method args — the train-side twin of _steady_eval.
+    Batches are generated in-graph per scan iteration so XLA cannot CSE
+    them. Falls back to rematerialization on RESOURCE_EXHAUSTED."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mono_depth_estimation_tpu.cli.common import (
+        build_parser,
+        derive_globals,
+        parse_args_into_namespaces,
+    )
+    from mono_depth_estimation_tpu.methods import get_method
+    from mono_depth_estimation_tpu.train.state import TrainState
+    from mono_depth_estimation_tpu.train.steps import make_train_step
+
+    parser, cmds = build_parser("bench")
+    args = parse_args_into_namespaces(
+        parser, cmds, ["--name", "bench", name, *extra_argv]
+    )
+    derive_globals(args)
+    method = get_method(args)
+    h, w = size
+
+    def make_batch(x, y):
+        if name == "vnl":  # dict protocol (methods/vnl.py val/train batches)
+            return {
+                "A": x, "B": y,
+                "invalid_side": jnp.zeros((batch, 4), jnp.int32),
+                "ratio": jnp.ones((batch,), jnp.float32),
+            }
+        return (x, y)
+
+    def rand_batch(k):
+        kx, ky = jax.random.split(k)
+        x = jax.random.uniform(kx, (batch, h, w, x_ch), jnp.float32)
+        y = jax.random.uniform(ky, (batch, h, w, y_ch), jnp.float32,
+                               minval=0.1, maxval=1.0)
+        return make_batch(x, y)
+
+    host = make_batch(
+        jnp.ones((batch, h, w, x_ch), jnp.float32),
+        jnp.full((batch, h, w, y_ch), 0.5, jnp.float32),
+    )
+    model, variables = method.init_variables(jax.random.PRNGKey(0), host)
+    optimizer = method.optimizer()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        opt_state=optimizer.init(variables["params"]),
+    )
+    train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
+                                 remat=remat)
+
+    def run(state, key):
+        def body(carry, k):
+            st, _ = carry
+            kb, ks = jax.random.split(k)
+            st, loss, *_ = train_step(st, rand_batch(kb), ks)
+            return (st, loss), None
+
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jax.random.split(key, n)
+        )
+        return state, loss
+
+    run = jax.jit(run, donate_argnums=(0,))
+    try:
+        compiled = run.lower(state, jax.random.PRNGKey(1)).compile()
+        state, loss = compiled(state, jax.random.PRNGKey(1))
+        _ = float(loss)
+    except Exception as e:
+        if not remat and "RESOURCE_EXHAUSTED" in str(e):
+            return _steady_train_method(name, size, batch, x_ch, y_ch,
+                                        extra_argv, n, remat=True)
+        raise
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, loss = compiled(state, jax.random.PRNGKey(2 + i))
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n
+    return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
+
+
+# (method argv name, train size, batch = the method's CLI default,
+#  x channels, y channels) — reference train geometry per method
+# (methods/*.output_size / add_model_specific_args defaults; SURVEY §2.2)
+ZOO_TRAIN = {
+    "eigen": ((240, 320), 8, 3, 1),
+    "laina": ((240, 320), 16, 3, 20),   # 20ch stdepth head (FCRN.py:361);
+                                        # stdepthmulti feeds 3ch rgb
+                                        # (data/stdepth.py get_raw)
+    "bts": ((512, 512), 8, 4, 10),      # flagship; b32 row is dedicated
+    "dorn": ((257, 353), 8, 3, 1),
+    "midas": ((384, 384), 8, 3, 1),
+    "vnl": ((385, 385), 8, 3, 1),       # dict batch (crop_size 385)
+    "my": ((384, 384), 16, 3, 1),
+    "sharpnet": ((240, 320), 16, 3, 1),
+}
+
+
+def bench_zoo_train() -> dict:
+    """Train-step throughput for EVERY method family at its reference train
+    geometry and default batch size (VERDICT r2 task 6: training is the
+    product, eval is the demo)."""
+    out = {}
+    for name, (size, batch, x_ch, y_ch) in ZOO_TRAIN.items():
+        try:
+            ips, roof, remat = _steady_train_method(
+                name, size, batch, x_ch=x_ch, y_ch=y_ch
+            )
+            out[f"{name}_{size[0]}x{size[1]}"] = {
+                "images_per_sec": round(ips, 1), "batch": batch,
+                "mfu": round(roof["mfu"], 4),
+                "hbm_bw_util": round(roof["bw_util"], 4),
+                "remat": remat,
+            }
+        except Exception as e:  # keep the sweep going; record the failure
+            out[f"{name}_{size[0]}x{size[1]}"] = {"error": str(e)[:200]}
+    return out
+
+
+def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
+                    timed_epochs: int = 2, workers: int = 8) -> dict:
+    """END-TO-END fed training throughput for the flagship config (VERDICT
+    r2 task 4): file-backed stdepthmulti data -> TorchVtkReader ->
+    policies_fast cv2 aug in the Loader's thread pool -> u8/bf16 host->HBM
+    transfer -> jitted train step. This is `python train.py`'s hot loop
+    (train/loop.py:326-345) minus val/ckpt, timed at steady state.
+
+    Decomposes the pipeline so a gap from the in-graph number
+    (bts_dn161_512_train_images_per_sec) is attributable:
+      * loader_only_ips  — host side alone (read + aug + stack), no device
+      * transfer_mb_per_batch / transfer_mb_s — device_put bandwidth alone
+      * fed_ips          — the real overlapped loop
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mono_depth_estimation_tpu.cli.common import (
+        build_parser,
+        derive_globals,
+        parse_args_into_namespaces,
+    )
+    from mono_depth_estimation_tpu.data.loader import Loader
+    from mono_depth_estimation_tpu.data.stdepth import get_stdepthmulti_dataset
+    from mono_depth_estimation_tpu.data.synthetic import materialize_stdepth_dir
+    from mono_depth_estimation_tpu.methods import get_method
+    from mono_depth_estimation_tpu.ops.preproc import (
+        UINT8_SAFE_POLICIES,
+        cast_targets_host,
+        quantize_rgb_u8,
+    )
+    from mono_depth_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+    from mono_depth_estimation_tpu.train.state import TrainState
+    from mono_depth_estimation_tpu.train.steps import make_train_step
+
+    # ---- file-backed dataset (materialized once, reused across runs)
+    data_dir = Path(__file__).parent / ".bench_data" / f"stdepth{size}_{n_images}"
+    if not (data_dir.exists() and len(list(data_dir.glob("*.pt"))) >= n_images):
+        materialize_stdepth_dir(data_dir, n_train=n_images, n_val=1, n_test=1,
+                                h=size, w=size)
+
+    parser, cmds = build_parser("bench")
+    args = parse_args_into_namespaces(
+        parser, cmds, ["--name", "bench", "bts",
+                       "--batch_size", str(batch)]
+    )
+    derive_globals(args)
+    method = get_method(args)
+
+    from argparse import Namespace
+    ds_ns = Namespace(path=str(data_dir), single_layer=True,
+                      background_depth_max=False)
+    train_ds = get_stdepthmulti_dataset(
+        ds_ns, "train", method.output_size(), method.resize()
+    )
+    train_t, _, _ = method.policy_fns()
+    if method.POLICY in UINT8_SAFE_POLICIES:
+        train_t = quantize_rgb_u8(train_t)
+    # same host-side compression the Trainer applies (train/loop._loaders)
+    train_t = cast_targets_host(train_t, jnp.bfloat16)
+    loader = Loader(train_ds, batch, shuffle=True, transform=train_t,
+                    num_workers=workers, seed=0)
+    n_batches = len(loader)
+
+    # ---- host-only throughput (loader + aug + stack, device untouched)
+    _ = [b for b, _ in loader]  # warm the page cache
+    t0 = time.perf_counter()
+    count = 0
+    for b_, _m in loader:
+        count += _m.sum()
+    loader_only_ips = count / (time.perf_counter() - t0)
+
+    # ---- the real fed loop
+    mesh = make_mesh()
+    sample_batch, _ = next(iter(loader))
+    model, variables = method.init_variables(
+        jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, sample_batch)
+    )
+    optimizer = method.optimizer()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        opt_state=optimizer.init(variables["params"]),
+    )
+    train_step = make_train_step(method, model, optimizer, jnp.bfloat16)
+
+    # transfer bandwidth alone (the batch the loader actually emits)
+    dbatch = shard_batch(sample_batch, mesh)
+    jax.block_until_ready(dbatch)
+    nbytes = sum(np.asarray(x).nbytes
+                 for x in jax.tree_util.tree_leaves(sample_batch))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(shard_batch(sample_batch, mesh))
+    transfer_s = (time.perf_counter() - t0) / 3
+
+    rng = jax.random.PRNGKey(1)
+    # warm epoch: compile + page cache
+    for b_, _m in loader:
+        rng, k = jax.random.split(rng)
+        state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for _ in range(timed_epochs):
+        for b_, _m in loader:
+            rng, k = jax.random.split(rng)
+            state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
+            n_done += batch
+    jax.block_until_ready(loss)
+    fed_ips = n_done / (time.perf_counter() - t0)
+
+    return {
+        "fed_images_per_sec": round(float(fed_ips), 2),
+        "loader_only_images_per_sec": round(float(loader_only_ips), 2),
+        "transfer_mb_per_batch": round(nbytes / 1e6, 1),
+        "transfer_mb_s": round(nbytes / transfer_s / 1e6, 1),
+        "batch": batch, "n_images": n_images, "workers": workers,
+        "steps_per_epoch": n_batches,
+    }
+
+
 def bench_jax_bts() -> float:
     import jax
     import jax.numpy as jnp
@@ -519,6 +773,10 @@ def main():
             extra["zoo_eval"] = bench_zoo()
         except Exception as e:
             extra["zoo_error"] = str(e)[:300]
+        try:
+            extra["zoo_train"] = bench_zoo_train()
+        except Exception as e:
+            extra["zoo_train_error"] = str(e)[:300]
         if extra:
             EXTRA_FILE.write_text(json.dumps(extra))
 

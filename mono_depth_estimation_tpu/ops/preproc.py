@@ -62,6 +62,35 @@ def dequantize_images(batch):
 UINT8_SAFE_POLICIES = frozenset({"default", "laina", "bts", "my"})
 
 
+def cast_targets_host(transform, dtype):
+    """Wraps a host policy fn so float32 TARGETS travel in the step's
+    compute dtype (bf16 under --precision 16): half the host->HBM bytes.
+
+    Bit-identical to the status quo: train/steps._cast_inputs casts every
+    floating input to compute_dtype on device anyway (round-to-nearest-even,
+    the same rounding ml_dtypes uses), so converting on the host — inside
+    the Loader's thread pool, overlapped with device compute — only moves
+    the cast across the wire. The flagship's 10-channel 512x512 stdepth
+    target is the dominant transfer (10.5 MB/sample f32); see
+    bench_extra.json["fed_train"]. Only tuple samples (x, y) are touched.
+    """
+    import numpy as np
+
+    np_dtype = np.dtype(dtype)
+
+    def wrapped(rgb, depth, rng):
+        out = transform(rgb, depth, rng)
+        if not isinstance(out, tuple) or len(out) != 2:
+            return out
+        x, y = out
+        y = np.asarray(y)
+        if y.dtype == np.float32:
+            y = y.astype(np_dtype)
+        return x, y
+
+    return wrapped
+
+
 def quantize_rgb_u8(transform):
     """Wraps a host policy fn so the rgb half travels as uint8.
 

@@ -28,6 +28,7 @@ from mono_depth_estimation_tpu.data.loader import Loader
 from mono_depth_estimation_tpu.metrics.logger import MetricAccumulator
 from mono_depth_estimation_tpu.ops.preproc import (
     UINT8_SAFE_POLICIES,
+    cast_targets_host,
     dequantize_images,
     quantize_rgb_u8,
 )
@@ -122,6 +123,15 @@ class Trainer:
                 quantize_rgb_u8(train_t),
                 quantize_rgb_u8(val_t),
                 quantize_rgb_u8(test_t),
+            )
+        if self.compute_dtype is not None:
+            # float32 targets travel in the compute dtype (bit-identical to
+            # the on-device cast in train/steps._cast_inputs; halves the
+            # dominant host->HBM bytes — ops/preproc.cast_targets_host)
+            train_t, val_t, test_t = (
+                cast_targets_host(train_t, self.compute_dtype),
+                cast_targets_host(val_t, self.compute_dtype),
+                cast_targets_host(test_t, self.compute_dtype),
             )
         bs = int(self.method.method.batch_size)
         bs = max(self.n_devices, (bs // self.n_devices) * self.n_devices)
@@ -271,7 +281,10 @@ class Trainer:
             )
         batch = jax.tree.map(
             lambda x: x.astype(np.float32) / 255.0
-            if hasattr(x, "dtype") and x.dtype == np.uint8 else x,
+            if hasattr(x, "dtype") and x.dtype == np.uint8
+            # bf16-compressed targets (cast_targets_host) -> f32 for plotting
+            else (x.astype(np.float32)
+                  if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x),
             batch,
         )
         dbatch = shard_batch(batch, self.mesh)

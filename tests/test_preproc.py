@@ -8,6 +8,7 @@ import numpy as np
 
 from mono_depth_estimation_tpu.ops.preproc import (
     UINT8_SAFE_POLICIES,
+    cast_targets_host,
     dequantize_images,
     normalize_crop,
     quantize_rgb_u8,
@@ -87,3 +88,35 @@ def test_loader_eval_path_end_to_end():
     np.testing.assert_array_equal(yq, yf)
     del make_metric_step  # full-step coverage: tests/test_train_loop.py
     del method
+
+
+def test_cast_targets_host_bit_identical_to_device_cast():
+    """The bf16 target-transfer claim (cast_targets_host): ml_dtypes' host
+    f32->bf16 cast must equal XLA's on-device convert BIT-FOR-BIT, so
+    compressing targets on the host only moves the existing cast in
+    train/steps._cast_inputs across the wire."""
+    rng = np.random.default_rng(2)
+    # adversarial values: rounding ties, denormal-ish, large, exact bf16
+    y = np.concatenate([
+        rng.uniform(0, 1, 4096).astype(np.float32),
+        np.float32([1.0039062, 1.0039063, 0.1, 1e-30, 3e38, 0.5, -0.3]),
+    ])
+    host = np.asarray(y.astype(jnp.bfloat16))
+    device = np.asarray(jax.jit(lambda a: a.astype(jnp.bfloat16))(jnp.asarray(y)))
+    np.testing.assert_array_equal(
+        host.view(np.uint16), device.view(np.uint16)
+    )
+
+
+def test_cast_targets_host_wrapper_semantics():
+    x = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    y = np.ones((2, 2, 1), np.float32) * 0.3
+    fn = cast_targets_host(lambda r, d, g: (r, d), jnp.bfloat16)
+    xo, yo = fn(x, y, None)
+    assert xo is x  # image half untouched
+    assert yo.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(yo.astype(np.float32),
+                                  y.astype(jnp.bfloat16).astype(np.float32))
+    # non-tuple (dict-protocol) samples pass through untouched
+    d = {"A": y}
+    assert cast_targets_host(lambda r, dd, g: d, jnp.bfloat16)(x, y, None) is d

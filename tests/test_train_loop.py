@@ -94,6 +94,50 @@ def test_fit_fast_dev_run(tmp_path):
     assert arts[0]["kind"] == "model" and "val_loss" in arts[0]
 
 
+@pytest.mark.slow
+def test_fit_bf16_precision_compresses_targets(tmp_path):
+    """--precision 16: the loaders ship bf16 targets (cast_targets_host) and
+    the fit still runs end-to-end; what the step consumes is bit-identical
+    to the f32-shipped path (the step casts to bf16 on device either way)."""
+    import jax.numpy as jnp
+
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+    method = _make_method()
+    train_ds = _StdepthStyleDataset(split="train", n_images=8,
+                                    image_size=(96, 128))
+    val_ds = _StdepthStyleDataset(split="val", n_images=2,
+                                  image_size=(96, 128))
+    trainer = Trainer(
+        method,
+        metrics=["mae"],
+        fast_dev_run=True,
+        precision=16,
+        run_name="bf16_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+        logger=RunLogger(tmp_path, use_wandb=False),
+    )
+    train_loader, val_loader, _ = trainer._loaders(train_ds, val_ds, None)
+    batch, _ = next(iter(train_loader))
+    x, y = batch
+    assert y.dtype == jnp.bfloat16  # targets compressed on host
+    assert x.dtype == np.uint8     # rgb stays u8 (laina is UINT8_SAFE)
+    # one train step + one metric step through the bf16-shipped batch
+    # (cheaper than a full fit; the f32 fit path is test_fit_fast_dev_run)
+    from mono_depth_estimation_tpu.parallel.mesh import shard_batch
+
+    trainer.setup(batch)
+    dbatch = shard_batch(batch, trainer.mesh)
+    trainer.state, loss, *_ = trainer._train_step(trainer.state, dbatch,
+                                                  jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    vbatch, _ = next(iter(val_loader))
+    results, extras = trainer._val_step(trainer._eval_variables(),
+                                        shard_batch(vbatch, trainer.mesh))
+    assert np.isfinite(float(extras["val_loss"]))
+
+
 def test_log_artifact_jsonl(tmp_path):
     import json
 

@@ -1,0 +1,222 @@
+"""Ablation profiler for the three zoo models VERDICT r2 flagged as
+"neither compute- nor bandwidth-bound" (Eigen 38.5% MFU/31% BW, FCRN
+32.2%/57%, MyNet 23.1%/51%): times SUB-GRAPHS of each model with the same
+steady-state in-graph-scan harness bench.py uses, so the idle time can be
+attributed to a stage instead of guessed.
+
+Usage:  python tools/profile_zoo.py [eigen fcrn mynet]
+Writes: profile_zoo.json {model: {stage: {ms_per_batch, mfu, bw_util}}}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from mono_depth_estimation_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench  # _roofline_from_cost, _bf16_params
+
+
+def steady_ms(fn, variables, in_shape, batch, n=6):
+    """Median ms/batch for fn(variables, x) over n in-graph random batches
+    (same protocol as bench._steady_eval)."""
+
+    def run(variables, key):
+        def body(carry, k):
+            x = jax.random.uniform(k, (batch, *in_shape), jnp.bfloat16)
+            out = fn(variables, x)
+            tot = sum(
+                o.astype(jnp.float32).sum()
+                for o in jax.tree_util.tree_leaves(out)
+            )
+            return carry + tot, None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
+        return total
+
+    compiled = jax.jit(run).lower(variables, jax.random.PRNGKey(1)).compile()
+    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) / n
+    roof = bench._roofline_from_cost(compiled, dt, n_iters=1)
+    return {
+        "ms_per_batch": round(dt * 1e3, 3),
+        "images_per_sec": round(batch / dt, 1),
+        "mfu": round(roof["mfu"], 4),
+        "bw_util": round(roof["bw_util"], 4),
+        "bytes_gb": round(roof["bytes_gb"], 3),
+    }
+
+
+def profile_eigen(batch=32):
+    from mono_depth_estimation_tpu.models.eigen import (
+        Eigen,
+        EigenScale1,
+        EigenScale2,
+        EigenScale3,
+    )
+    from mono_depth_estimation_tpu.models.encoders.vgg import VGG19BNFeatures
+
+    size = (240, 320)
+    model = Eigen()
+    init = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = bench._bf16_params(
+        init(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+    out = {}
+    out["full"] = steady_ms(
+        lambda v, x: model.apply(v, x, train=False), variables, (*size, 3), batch
+    )
+
+    # stage taps: run the model's own submodules with sliced variables
+    s1_vars = {"params": variables["params"]["EigenScale1_0"]}
+    if "batch_stats" in variables:
+        s1_vars["batch_stats"] = variables["batch_stats"]["EigenScale1_0"]
+    s1 = EigenScale1()
+    out["scale1_vgg_fc_deconv"] = steady_ms(
+        lambda v, x: s1.apply(v, x, train=False), s1_vars, (*size, 3), batch
+    )
+
+    vgg = VGG19BNFeatures()
+    vgg_vars = {"params": s1_vars["params"]["VGG19BNFeatures_0"]}
+    if "batch_stats" in s1_vars:
+        vgg_vars["batch_stats"] = s1_vars["batch_stats"]["VGG19BNFeatures_0"]
+    out["vgg_features_only"] = steady_ms(
+        lambda v, x: vgg.apply(v, x, train=False), vgg_vars, (*size, 3), batch
+    )
+
+    # scale2+scale3 with a fixed coarse input
+    s2, s3 = EigenScale2(), EigenScale3()
+    s2_vars = {"params": variables["params"]["EigenScale2_0"]}
+    s3_vars = {"params": variables["params"]["EigenScale3_0"]}
+
+    def tail(v, x):
+        coarse = jnp.ones((x.shape[0], 55, 75, 64), x.dtype)
+        mid = s2.apply(v["s2"], x, coarse, train=False)
+        return s3.apply(v["s3"], x, mid, train=False)
+
+    out["scale2_scale3"] = steady_ms(
+        tail, {"s2": s2_vars, "s3": s3_vars}, (*size, 3), batch
+    )
+    return out
+
+
+def profile_fcrn(batch=32):
+    from mono_depth_estimation_tpu.models.encoders.resnet import (
+        RESNET_PRESETS,
+        ResNetEncoder,
+    )
+    from mono_depth_estimation_tpu.models.fcrn import FCRN
+
+    size = (240, 320)
+    model = FCRN(layers=50, decoder="upproj", output_size=(120, 160),
+                 out_channels=1)
+    init = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = bench._bf16_params(
+        init(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+    out = {}
+    out["full"] = steady_ms(
+        lambda v, x: model.apply(v, x, train=False), variables, (*size, 3), batch
+    )
+
+    enc = ResNetEncoder(config=RESNET_PRESETS["resnet50"])
+    enc_vars = {"params": variables["params"]["ResNetEncoder_0"]}
+    if "batch_stats" in variables:
+        enc_vars["batch_stats"] = variables["batch_stats"]["ResNetEncoder_0"]
+    out["encoder_only"] = steady_ms(
+        lambda v, x: enc.apply(v, x, train=False)[-1], enc_vars, (*size, 3),
+        batch,
+    )
+
+    # decoder alone: feed the encoder's output shape (8x10x2048 @240x320)
+    def decoder_only(v, f):
+        # replicate FCRN.__call__ after the encoder using the full variable
+        # tree — run the whole model but from the bottleneck. Simplest exact
+        # form: full minus encoder is estimated as full - encoder_only.
+        return f.sum()
+
+    del decoder_only
+    return out
+
+
+def profile_mynet(batch=16):
+    from mono_depth_estimation_tpu.models.bts import BTS_ENCODERS
+    from mono_depth_estimation_tpu.models.encoders.densenet import (
+        DENSENET_PRESETS,
+        DenseNetEncoder,
+    )
+    from mono_depth_estimation_tpu.models.mynet import MyModel
+
+    size = (384, 384)
+    model = MyModel(input_size=size)
+    init = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = bench._bf16_params(
+        init(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+    out = {}
+    out["full"] = steady_ms(
+        lambda v, x: model.apply(v, x, train=False), variables, (*size, 3), batch
+    )
+
+    _, name = BTS_ENCODERS["densenet161_bts"]
+    enc = DenseNetEncoder(config=DENSENET_PRESETS[name])
+    enc_vars = {"params": variables["params"]["DenseNetEncoder_0"]}
+    if "batch_stats" in variables:
+        enc_vars["batch_stats"] = variables["batch_stats"]["DenseNetEncoder_0"]
+    out["encoder_only"] = steady_ms(
+        lambda v, x: [f.sum() for f in enc.apply(v, x, train=False)],
+        enc_vars, (*size, 3), batch,
+    )
+
+    # the Weighter's NHWC->NCHW transpose+Dense is a suspect: time it alone
+    # on the three (B, 192, 192, 64) branch maps
+    from mono_depth_estimation_tpu.models.mynet import Weighter
+
+    wt = Weighter(size)
+    wt_vars = {"params": variables["params"]["Weighter_0"]}
+    if "batch_stats" in variables:
+        wt_vars["batch_stats"] = variables["batch_stats"]["Weighter_0"]
+
+    def weighter_only(v, x):
+        # x: (B, 192, 192, 64); reuse it as all three branches
+        return wt.apply(v, (x, x, x), train=False)
+
+    out["weighter_only"] = steady_ms(
+        weighter_only, wt_vars, (size[0] // 2, size[1] // 2, 64), batch
+    )
+    return out
+
+
+def main():
+    which = sys.argv[1:] or ["eigen", "fcrn", "mynet"]
+    res = {}
+    for name in which:
+        fn = {"eigen": profile_eigen, "fcrn": profile_fcrn,
+              "mynet": profile_mynet}[name]
+        try:
+            res[name] = fn()
+        except Exception as e:
+            res[name] = {"error": str(e)[:300]}
+        print(name, json.dumps(res[name], indent=1), flush=True)
+    Path(__file__).parent.parent.joinpath("profile_zoo.json").write_text(
+        json.dumps(res, indent=1)
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""One-off driver: run bench.bench_zoo_train() on the real chip and merge
+the result into bench_extra.json (the same record bench.py main() writes)."""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+import bench
+
+out = bench.bench_zoo_train()
+extra = {}
+if bench.EXTRA_FILE.exists():
+    extra = json.loads(bench.EXTRA_FILE.read_text())
+extra["zoo_train"] = out
+bench.EXTRA_FILE.write_text(json.dumps(extra))
+print(json.dumps(out, indent=1))
