@@ -250,7 +250,7 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
         state, loss = compiled(state, jax.random.PRNGKey(1))
         _ = float(loss)
     except Exception as e:
-        if not remat and "RESOURCE_EXHAUSTED" in str(e):
+        if not remat and _is_oom(e):
             return bench_bts_train_steady(batch, size, remat=True)
         raise
     times = []
@@ -300,6 +300,14 @@ def _steady_eval(model, size, batch, n=6, train_kw=True):
     dt = float(np.median(times)) / n
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1)
 
+
+
+def _is_oom(e) -> bool:
+    """HBM OOM arrives as RESOURCE_EXHAUSTED locally but as INTERNAL
+    'Ran out of memory in memory space hbm' through the remote-compile
+    relay; treat both as the remat-fallback trigger."""
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
 
 def bench_zoo() -> dict:
     """Eval fwd throughput for the REST of the model zoo, each at its
@@ -415,7 +423,7 @@ def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
         state, loss = compiled(state, jax.random.PRNGKey(1))
         _ = float(loss)
     except Exception as e:
-        if not remat and "RESOURCE_EXHAUSTED" in str(e):
+        if not remat and _is_oom(e):
             return _steady_train_method(name, size, batch, x_ch, y_ch,
                                         extra_argv, n, remat=True)
         raise
@@ -467,8 +475,9 @@ def bench_zoo_train() -> dict:
     return out
 
 
-def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
-                    timed_epochs: int = 2, workers: int = 8) -> dict:
+def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
+                    timed_epochs: int = 2, workers: int = 8,
+                    remat: bool = False) -> dict:
     """END-TO-END fed training throughput for the flagship config (VERDICT
     r2 task 4): file-backed stdepthmulti data -> TorchVtkReader ->
     policies_fast cv2 aug in the Loader's thread pool -> u8/bf16 host->HBM
@@ -480,6 +489,13 @@ def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
       * loader_only_ips  — host side alone (read + aug + stack), no device
       * transfer_mb_per_batch / transfer_mb_s — device_put bandwidth alone
       * fed_ips          — the real overlapped loop
+
+    Default batch is 16, the largest production-feasible batch at 512^2:
+    the standalone b32 train step needs 19.6G of the v5e's 15.75G HBM
+    (measured; remat makes it WORSE, 20.9G — recompute adds copies to an
+    already bandwidth-bound step). The in-graph b32 bench row fits only
+    because its batch is generated inside the scan body. The in-graph b16
+    comparison point is 86.9 img/s (BASELINE.md flagship train sweep).
     """
     import jax
     import jax.numpy as jnp
@@ -518,11 +534,15 @@ def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
     method = get_method(args)
 
     from argparse import Namespace
+
+    from mono_depth_estimation_tpu.data.raw_cache import RawDiskCache
+
     ds_ns = Namespace(path=str(data_dir), single_layer=True,
                       background_depth_max=False)
-    train_ds = get_stdepthmulti_dataset(
+    # decode-once cache, exactly as Method.build_datasets wires it
+    train_ds = RawDiskCache(get_stdepthmulti_dataset(
         ds_ns, "train", method.output_size(), method.resize()
-    )
+    ))
     train_t, _, _ = method.policy_fns()
     if method.POLICY in UINT8_SAFE_POLICIES:
         train_t = quantize_rgb_u8(train_t)
@@ -553,7 +573,8 @@ def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
         batch_stats=variables.get("batch_stats"),
         opt_state=optimizer.init(variables["params"]),
     )
-    train_step = make_train_step(method, model, optimizer, jnp.bfloat16)
+    train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
+                                 remat=remat)
 
     # transfer bandwidth alone (the batch the loader actually emits)
     dbatch = shard_batch(sample_batch, mesh)
@@ -566,11 +587,21 @@ def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
     transfer_s = (time.perf_counter() - t0) / 3
 
     rng = jax.random.PRNGKey(1)
-    # warm epoch: compile + page cache
-    for b_, _m in loader:
-        rng, k = jax.random.split(rng)
-        state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
-    jax.block_until_ready(loss)
+    # warm epoch: compile + page cache. Unlike the in-graph bench (which
+    # folds the batch into the scan body), the fed step holds the incoming
+    # device batch alongside the activations, so b32 @512^2 can exceed HBM
+    # where the in-graph form fits — fall back to remat exactly like
+    # _steady_train_method (a production user at this batch needs --remat).
+    try:
+        for b_, _m in loader:
+            rng, k = jax.random.split(rng)
+            state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
+        jax.block_until_ready(loss)
+    except Exception as e:
+        if not remat and _is_oom(e):
+            return bench_fed_train(batch, size, n_images, timed_epochs,
+                                   workers, remat=True)
+        raise
 
     t0 = time.perf_counter()
     n_done = 0
@@ -588,7 +619,7 @@ def bench_fed_train(batch: int = 32, size: int = 512, n_images: int = 256,
         "transfer_mb_per_batch": round(nbytes / 1e6, 1),
         "transfer_mb_s": round(nbytes / transfer_s / 1e6, 1),
         "batch": batch, "n_images": n_images, "workers": workers,
-        "steps_per_epoch": n_batches,
+        "steps_per_epoch": n_batches, "remat": remat,
     }
 
 
@@ -743,7 +774,14 @@ def main():
     ips = bench_jax_dorn_steady(batch=16)
 
     if not args.skip_extra:
+        # seed from the existing record so one-off results (fed_train,
+        # tools/run_*_bench.py) survive driver reruns of this script
         extra = {}
+        if EXTRA_FILE.exists():
+            try:
+                extra = json.loads(EXTRA_FILE.read_text())
+            except Exception:
+                extra = {}
         try:
             extra["dorn_per_call_images_per_sec"] = round(bench_jax_dorn(), 2)
         except Exception:

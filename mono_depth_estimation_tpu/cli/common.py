@@ -90,6 +90,14 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
         nargs="+",
     )
     parser.add_argument("--worker", default=8, type=int)
+    parser.add_argument(
+        "--no_raw_cache", action="store_true",
+        help="Disable the decode-once raw-sample disk cache "
+        "(data/raw_cache.py). Default on for file-backed datasets: "
+        "torch.load of a torchvtk sample costs ~94 ms and holds the GIL, "
+        "which caps the fed train loop at ~10 img/s vs the 87 img/s device "
+        "step (bench_extra.json fed_train)",
+    )
     parser.add_argument("--find_learning_rate", action="store_true")
     parser.add_argument(
         "--save_visualizations", action="store_true",

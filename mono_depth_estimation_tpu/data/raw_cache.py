@@ -1,0 +1,167 @@
+"""Decode-once raw-sample disk cache.
+
+The torchvtk ``*.pt`` sample files the stdepth families train from cost
+~94 ms/sample to decode (torch.load unpickling + CHW float tensors +
+layer sort / alpha un-compositing — measured on the 512x512 flagship
+data), and torch.load holds the GIL, so the Loader's thread pool cannot
+hide it: the measured end-to-end fed train rate was 9.5 img/s against an
+86.9 img/s device step (bench_extra.json["fed_train"], round 3). The
+reference has the same bottleneck — its torch DataLoader re-decodes every
+epoch (SURVEY §3.1, modules/base_module.py:51-78 prefetch_factor=4).
+
+``RawDiskCache`` wraps any dataset with deterministic
+``get_raw(i) -> (rgb, planes)`` semantics: the first access decodes and
+writes plain ``.npy`` blobs next to the data (or to ``cache_dir``); later
+accesses ``np.load(mmap_mode="r")`` them — zero-copy, page-cache fast
+(~1 ms), and GIL-free for the copy. Epoch 2 onward the input pipeline is
+augmentation-bound instead of decode-bound.
+
+Correctness:
+* Per-sample cache keys carry the SOURCE file's (size, mtime_ns): edit or
+  regenerate a sample and its cache entry is recomputed, not reused.
+* A config fingerprint (class name + the get_raw-affecting attributes)
+  keys the cache subdirectory, so e.g. ``--single-layer`` and full-layer
+  runs against the same files do not collide.
+* The cached value is the exact get_raw output (float32 planes, uint8
+  rgb) — byte-identical round trip, pinned by tests/test_raw_cache.py.
+* Unwritable data dirs degrade to pass-through with one warning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _fingerprint(dataset) -> str:
+    """get_raw-affecting config of the wrapped dataset, as a short name."""
+    bits = [type(dataset).__name__]
+    for attr in ("single_layer", "set_bg_depth", "depth_method", "split"):
+        if hasattr(dataset, attr):
+            bits.append(f"{attr}={getattr(dataset, attr)}")
+    return "-".join(bits).replace("/", "_")
+
+
+def _source_file(dataset, index: int):
+    """The on-disk file behind sample ``index`` (None = not cacheable)."""
+    reader = getattr(dataset, "reader", None)
+    files = getattr(reader, "files", None)
+    if files is not None:
+        return Path(files[index])
+    files = getattr(dataset, "files", None)
+    if files is not None:
+        return Path(files[index])
+    return None
+
+
+class RawDiskCache:
+    """Proxy dataset: identical interface, memoized ``get_raw``.
+
+    Only samples with an identifiable source file are cached; everything
+    else (synthetic/in-memory datasets) passes straight through.
+    """
+
+    def __init__(self, dataset, cache_dir: str | os.PathLike | None = None):
+        self.dataset = dataset
+        root = (
+            Path(cache_dir)
+            if cache_dir is not None
+            else Path(getattr(dataset, "path", ".")) / ".mde_raw_cache"
+        )
+        self.cache_dir = root / _fingerprint(dataset)
+        self._writable = None  # decided lazily on first write
+
+    # ---- proxy surface the Loader / method layer relies on
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    @property
+    def transform(self):
+        return self.dataset.transform
+
+    @transform.setter
+    def transform(self, fn):
+        self.dataset.transform = fn
+
+    def __getitem__(self, index: int):
+        rgb, depth = self.get_raw(index)
+        if self.dataset.transform is None:
+            return rgb, depth
+        return self.dataset.transform(rgb, depth)
+
+    # ---- the cache
+    def _entry(self, index: int):
+        src = _source_file(self.dataset, index)
+        if src is None:
+            return None
+        try:
+            st = src.stat()
+        except OSError:
+            return None
+        key = f"{src.stem}-{st.st_size}-{st.st_mtime_ns}"
+        return self.cache_dir / key
+
+    def get_raw(self, index: int):
+        entry = self._entry(index)
+        if entry is None:
+            return self.dataset.get_raw(index)
+        rgb_f = entry.with_suffix(".rgb.npy")
+        gt_f = entry.with_suffix(".gt.npy")
+        meta_f = entry.with_suffix(".meta.json")
+        if rgb_f.exists() and gt_f.exists() and meta_f.exists():
+            try:
+                return self._load(rgb_f, gt_f, meta_f)
+            except Exception:
+                pass  # truncated write etc. — fall through to recompute
+        rgb, depth = self.dataset.get_raw(index)
+        self._store(rgb_f, gt_f, meta_f, rgb, depth)
+        return rgb, depth
+
+    def _load(self, rgb_f, gt_f, meta_f):
+        meta = json.loads(meta_f.read_text())
+        # mmap: no decode, no GIL-held copy; the aug faults pages in from
+        # the OS page cache. Callers may mutate (set_bg_depth-style code
+        # lives inside get_raw, not after it), so hand out a real array.
+        rgb = np.array(np.load(rgb_f, mmap_mode="r"))
+        gt = np.array(np.load(gt_f, mmap_mode="r"))
+        splits = meta["splits"]
+        if splits is None:
+            return rgb, gt
+        return rgb, list(np.split(gt, np.cumsum(splits)[:-1], axis=-1))
+
+    def _store(self, rgb_f, gt_f, meta_f, rgb, depth):
+        if self._writable is False:
+            return
+        try:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+            if isinstance(depth, (list, tuple)):
+                splits = [p.shape[-1] for p in depth]
+                gt = np.concatenate([np.ascontiguousarray(p) for p in depth],
+                                    axis=-1)
+            else:
+                splits = None
+                gt = np.asarray(depth)
+            # write-then-rename: a concurrent reader never sees a torn file
+            pid = os.getpid()
+            for final, arr in ((rgb_f, np.asarray(rgb)), (gt_f, gt)):
+                tmp = final.with_suffix(f".tmp{pid}.npy")
+                np.save(tmp, arr)
+                os.replace(tmp, final)
+            tmp = meta_f.with_suffix(f".tmp{pid}.json")
+            tmp.write_text(json.dumps({"splits": splits}))
+            os.replace(tmp, meta_f)
+            self._writable = True
+        except OSError as e:
+            if self._writable is None:
+                print(
+                    f"WARNING: raw cache disabled ({self.cache_dir}: {e})",
+                    file=sys.stderr,
+                )
+            self._writable = False

@@ -81,6 +81,21 @@ class Method:
                 NAME2FUNC[name](ns, split, self.output_size(), self.resize())
                 for name, ns in role
             ]
+            if not getattr(self.globals, "no_raw_cache", False):
+                from mono_depth_estimation_tpu.data.raw_cache import (
+                    RawDiskCache,
+                )
+
+                # decode-once memmap cache for file-backed samples (the
+                # torch.load decode is the fed-train bottleneck — see
+                # data/raw_cache.py); in-memory/synthetic datasets have no
+                # reader.files and pass through untouched
+                ds = [
+                    RawDiskCache(d)
+                    if hasattr(getattr(d, "reader", None), "files")
+                    else d
+                    for d in ds
+                ]
             if len(ds) > 1:
                 return ConcatDataset(ds)
             return ds[0] if ds else None
