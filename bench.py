@@ -477,7 +477,8 @@ def bench_zoo_train() -> dict:
 
 def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
                     timed_epochs: int = 2, workers: int = 8,
-                    remat: bool = False) -> dict:
+                    remat: bool = False, device_aug: bool = False,
+                    steps_per_dispatch: int = 1) -> dict:
     """END-TO-END fed training throughput for the flagship config (VERDICT
     r2 task 4): file-backed stdepthmulti data -> TorchVtkReader ->
     policies_fast cv2 aug in the Loader's thread pool -> u8/bf16 host->HBM
@@ -543,9 +544,18 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
     train_ds = RawDiskCache(get_stdepthmulti_dataset(
         ds_ns, "train", method.output_size(), method.resize()
     ))
-    train_t, _, _ = method.policy_fns()
-    if method.POLICY in UINT8_SAFE_POLICIES:
-        train_t = quantize_rgb_u8(train_t)
+    if device_aug:
+        # --device_aug path: raw samples out, on-chip augmentation,
+        # zero-copy mmap reads of the concatenated targets
+        from mono_depth_estimation_tpu.ops.preproc import raw_collate
+
+        train_t = raw_collate
+        train_ds.concat_gt = True
+        train_ds.set_gt_dtype(jnp.bfloat16)
+    else:
+        train_t, _, _ = method.policy_fns()
+        if method.POLICY in UINT8_SAFE_POLICIES:
+            train_t = quantize_rgb_u8(train_t)
     # same host-side compression the Trainer applies (train/loop._loaders)
     train_t = cast_targets_host(train_t, jnp.bfloat16)
     loader = Loader(train_ds, batch, shuffle=True, transform=train_t,
@@ -563,9 +573,23 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
     # ---- the real fed loop
     mesh = make_mesh()
     sample_batch, _ = next(iter(loader))
-    model, variables = method.init_variables(
-        jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, sample_batch)
-    )
+    init_batch = jax.tree.map(jnp.asarray, sample_batch)
+    aug_fn = None
+    if device_aug:
+        from mono_depth_estimation_tpu.ops.device_aug import (
+            make_device_augment,
+        )
+
+        x_raw, y_raw = sample_batch
+        out_hw = tuple(method.output_size())
+        aug_fn = make_device_augment(
+            method.POLICY, tuple(x_raw.shape[1:3]), out_hw, method.resize()
+        )
+        init_batch = (
+            jnp.zeros((batch, *out_hw, x_raw.shape[-1]), jnp.float32),
+            jnp.zeros((batch, *out_hw, y_raw.shape[-1]), jnp.float32),
+        )
+    model, variables = method.init_variables(jax.random.PRNGKey(0), init_batch)
     optimizer = method.optimizer()
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -573,8 +597,42 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
         batch_stats=variables.get("batch_stats"),
         opt_state=optimizer.init(variables["params"]),
     )
+    if steps_per_dispatch > 1:
+        from mono_depth_estimation_tpu.train.steps import (
+            make_fused_train_step,
+        )
+
+        assert len(loader) % steps_per_dispatch == 0
+        fused_step = make_fused_train_step(
+            method, model, optimizer, steps_per_dispatch, jnp.bfloat16,
+            remat=remat, device_aug=aug_fn,
+        )
+
+        def run_epoch(state, rng):
+            group = []
+            loss = None
+            for b_, _m in loader:
+                group.append(b_)
+                if len(group) == steps_per_dispatch:
+                    kb = jax.tree.map(lambda *xs: np.stack(xs), *group)
+                    group = []
+                    rng, k = jax.random.split(rng)
+                    state, losses, *_ = fused_step(
+                        state, shard_batch(kb, mesh, axis=1), k
+                    )
+                    loss = losses[-1]
+            return state, rng, loss
+
+    else:
+        def run_epoch(state, rng):
+            loss = None
+            for b_, _m in loader:
+                rng, k = jax.random.split(rng)
+                state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
+            return state, rng, loss
+
     train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
-                                 remat=remat)
+                                 remat=remat, device_aug=aug_fn)
 
     # transfer bandwidth alone (the batch the loader actually emits)
     dbatch = shard_batch(sample_batch, mesh)
@@ -593,23 +651,21 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
     # where the in-graph form fits — fall back to remat exactly like
     # _steady_train_method (a production user at this batch needs --remat).
     try:
-        for b_, _m in loader:
-            rng, k = jax.random.split(rng)
-            state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
+        state, rng, loss = run_epoch(state, rng)
         jax.block_until_ready(loss)
     except Exception as e:
         if not remat and _is_oom(e):
             return bench_fed_train(batch, size, n_images, timed_epochs,
-                                   workers, remat=True)
+                                   workers, remat=True,
+                                   device_aug=device_aug,
+                                   steps_per_dispatch=steps_per_dispatch)
         raise
 
     t0 = time.perf_counter()
     n_done = 0
     for _ in range(timed_epochs):
-        for b_, _m in loader:
-            rng, k = jax.random.split(rng)
-            state, loss, *_ = train_step(state, shard_batch(b_, mesh), k)
-            n_done += batch
+        state, rng, loss = run_epoch(state, rng)
+        n_done += batch * len(loader)
     jax.block_until_ready(loss)
     fed_ips = n_done / (time.perf_counter() - t0)
 
@@ -620,6 +676,7 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
         "transfer_mb_s": round(nbytes / transfer_s / 1e6, 1),
         "batch": batch, "n_images": n_images, "workers": workers,
         "steps_per_epoch": n_batches, "remat": remat,
+        "steps_per_dispatch": steps_per_dispatch,
     }
 
 

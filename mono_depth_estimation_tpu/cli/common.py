@@ -79,6 +79,14 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
         "images too large for one chip's HBM (GSPMD inserts the conv halo "
         "exchanges; parallel/spatial.py). H must be divisible by N",
     )
+    parser.add_argument(
+        "--device_aug", action="store_true",
+        help="run the TRAIN augmentation batched on-chip inside the jitted "
+        "step (ops/device_aug.py: the whole geometric chain as one affine "
+        "gather; loaders ship raw cached samples). The fix for hosts whose "
+        "CPUs cannot feed the chip through cv2; val/test transforms stay "
+        "PIL-exact. Supported policies: bts, default, laina, my",
+    )
     parser.add_argument("--dev", action="store_true", help="Fast dev run")
     parser.add_argument("--overfit", action="store_true", help="Overfit 1 batch")
     parser.add_argument("--min_epochs", default=5, type=int)

@@ -116,6 +116,7 @@ def main(argv=None):
         worker=args.globals.worker,
         mesh=mesh,
         spatial=getattr(args.globals, "spatial", 1),
+        device_aug=getattr(args.globals, "device_aug", False),
     )
     trainer.logger.log_hparams(
         {

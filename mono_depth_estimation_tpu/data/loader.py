@@ -120,7 +120,17 @@ class Loader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.transform = transform
-        self.num_workers = num_workers
+        # more workers than cores is pure GIL/switch overhead for the
+        # numpy-heavy transforms (1-core host: 8 threads 35 img/s vs
+        # 2 threads 62 img/s on the raw-collate path); 2x cores keeps IO
+        # (mmap page faults) overlapped with compute
+        try:
+            import os
+
+            cores = len(os.sched_getaffinity(0))
+        except Exception:
+            cores = 4
+        self.num_workers = min(num_workers, 2 * cores) if num_workers else 0
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches

@@ -72,8 +72,32 @@ class RawDiskCache:
             if cache_dir is not None
             else Path(getattr(dataset, "path", ".")) / ".mde_raw_cache"
         )
+        self._root = root
         self.cache_dir = root / _fingerprint(dataset)
         self._writable = None  # decided lazily on first write
+        # concat_gt=True: cache hits return (rgb, gt) as READ-ONLY mmap
+        # views with the target planes left concatenated — zero host
+        # copies until the batch stack. The --device_aug loader path flips
+        # this on (ops/preproc.raw_collate consumes the concatenated form
+        # anyway); the default keeps exact get_raw semantics (real
+        # arrays, per-plane list).
+        self.concat_gt = False
+        self._gt_dtype = None
+
+    def set_gt_dtype(self, dtype) -> None:
+        """Store/serve the concatenated targets in ``dtype`` (bf16 under
+        --precision 16): the host-side cast the loaders would do per epoch
+        (ops/preproc.cast_targets_host — bit-identical to the step's
+        on-device cast) happens ONCE at cache fill, and each later epoch's
+        per-sample work is a plain memcpy of half the bytes. Only
+        meaningful with concat_gt (the device-aug path); the cache dir is
+        re-keyed so f32 runs never read quantized targets."""
+        import numpy as np
+
+        self._gt_dtype = np.dtype(dtype)
+        self.cache_dir = self._root / (
+            _fingerprint(self.dataset) + f"-gt={self._gt_dtype.name}"
+        )
 
     # ---- proxy surface the Loader / method layer relies on
     def __len__(self):
@@ -126,11 +150,25 @@ class RawDiskCache:
 
     def _load(self, rgb_f, gt_f, meta_f):
         meta = json.loads(meta_f.read_text())
+        if self.concat_gt:
+            # zero-copy fast path: mmap views straight to the collate
+            gt = np.load(gt_f, mmap_mode="r")
+            if meta.get("gt_dtype"):  # custom (ml_dtypes) dtypes are
+                # stored as their uint16 bits — view restores the type
+                import ml_dtypes
+
+                gt = gt.view(np.dtype(getattr(ml_dtypes,
+                                              meta["gt_dtype"])))
+            return np.load(rgb_f, mmap_mode="r"), gt
         # mmap: no decode, no GIL-held copy; the aug faults pages in from
         # the OS page cache. Callers may mutate (set_bg_depth-style code
         # lives inside get_raw, not after it), so hand out a real array.
         rgb = np.array(np.load(rgb_f, mmap_mode="r"))
         gt = np.array(np.load(gt_f, mmap_mode="r"))
+        if meta.get("gt_dtype"):
+            import ml_dtypes
+
+            gt = gt.view(np.dtype(getattr(ml_dtypes, meta["gt_dtype"])))
         splits = meta["splits"]
         if splits is None:
             return rgb, gt
@@ -148,6 +186,13 @@ class RawDiskCache:
             else:
                 splits = None
                 gt = np.asarray(depth)
+            gt_dtype_name = None
+            if self._gt_dtype is not None and gt.dtype != self._gt_dtype:
+                gt = gt.astype(self._gt_dtype)
+            if gt.dtype.kind == "V":  # ml_dtypes (bf16): np.load cannot
+                # reconstruct the dtype — store the raw bits as uint16
+                gt_dtype_name = self._gt_dtype.name
+                gt = gt.view(np.uint16)
             # write-then-rename: a concurrent reader never sees a torn file
             pid = os.getpid()
             for final, arr in ((rgb_f, np.asarray(rgb)), (gt_f, gt)):
@@ -155,7 +200,8 @@ class RawDiskCache:
                 np.save(tmp, arr)
                 os.replace(tmp, final)
             tmp = meta_f.with_suffix(f".tmp{pid}.json")
-            tmp.write_text(json.dumps({"splits": splits}))
+            tmp.write_text(json.dumps({"splits": splits,
+                                       "gt_dtype": gt_dtype_name}))
             os.replace(tmp, meta_f)
             self._writable = True
         except OSError as e:

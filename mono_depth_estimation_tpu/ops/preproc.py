@@ -62,6 +62,24 @@ def dequantize_images(batch):
 UINT8_SAFE_POLICIES = frozenset({"default", "laina", "bts", "my"})
 
 
+def raw_collate(rgb, depth, rng):
+    """Transform for the --device_aug path: NO host-side augmentation —
+    ship the raw decoded sample (uint8 rgb untouched, target planes
+    concatenated channel-last float32) and let the jitted step augment on
+    device (ops/device_aug.py). With data/raw_cache.py this makes the
+    host's per-sample work a single memcpy."""
+    import numpy as np
+
+    del rng
+    if isinstance(depth, (list, tuple)):
+        depth = np.concatenate(
+            [p if p.ndim == 3 else p[..., None] for p in depth], axis=-1
+        )
+    elif depth.ndim == 2:
+        depth = depth[..., None]
+    return rgb, np.asarray(depth, np.float32)
+
+
 def cast_targets_host(transform, dtype):
     """Wraps a host policy fn so float32 TARGETS travel in the step's
     compute dtype (bf16 under --precision 16): half the host->HBM bytes.

@@ -37,9 +37,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Puts a host pytree on device with the leading axis sharded on 'data'."""
-    sharding = batch_sharding(mesh)
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Puts a host pytree on device with ``axis`` sharded on 'data'
+    (axis=1 for K-stacked macro-batches, train/steps.make_fused_train_step)."""
+    spec = P(*([None] * axis), "data")
+    sharding = NamedSharding(mesh, spec)
 
     def put(x):
         x = np.asarray(x)

@@ -66,6 +66,7 @@ class Trainer:
         logger: RunLogger | None = None,
         save_visualizations: bool = False,
         spatial: int = 1,
+        device_aug: bool = False,
     ):
         self.method = method
         self.metric_names = [m for m in metrics if m != "ssim"] + (
@@ -88,6 +89,22 @@ class Trainer:
         self.spatial = spatial
         self.compute_dtype = jnp.bfloat16 if precision == 16 else None
         self.remat = remat
+        # --device_aug: train augmentation runs batched on-chip inside the
+        # jitted step (ops/device_aug.py); the loader ships raw samples.
+        # Single-core hosts cannot feed the chip through cv2 (~37 core-ms
+        # per 512^2 sample — bench_extra.json fed_train); val/test keep
+        # their PIL-exact transforms either way.
+        self.device_aug = device_aug
+        if device_aug:
+            from mono_depth_estimation_tpu.ops.device_aug import (
+                DEVICE_AUG_POLICIES,
+            )
+
+            if method.POLICY not in DEVICE_AUG_POLICIES:
+                raise ValueError(
+                    f"--device_aug supports policies "
+                    f"{sorted(DEVICE_AUG_POLICIES)}, not {method.POLICY!r}"
+                )
         # metrics are per-sample (masked on host), so a bigger eval batch
         # changes nothing numerically — only amortizes dispatch overhead
         # (the reference uses batch_size=1, base_module.py:61-78)
@@ -124,6 +141,24 @@ class Trainer:
                 quantize_rgb_u8(val_t),
                 quantize_rgb_u8(test_t),
             )
+        if self.device_aug:
+            # raw samples out of the loader; the step augments on device.
+            # get_raw already yields uint8 rgb, so the u8 transfer path
+            # holds without the quantize wrapper. A RawDiskCache-wrapped
+            # dataset serves zero-copy mmap views of the concatenated
+            # targets (raw_cache.concat_gt) — the host's per-sample work
+            # becomes one cast/copy into the batch.
+            from mono_depth_estimation_tpu.ops.preproc import raw_collate
+
+            train_t = raw_collate
+            for d in ([train_ds] if train_ds is not None else []):
+                for leaf in getattr(d, "datasets", [d]):
+                    if hasattr(leaf, "concat_gt"):
+                        leaf.concat_gt = True
+                        if self.compute_dtype is not None:
+                            # targets stored pre-cast: epoch cost is a
+                            # memcpy of half the bytes
+                            leaf.set_gt_dtype(self.compute_dtype)
         if self.compute_dtype is not None:
             # float32 targets travel in the compute dtype (bit-identical to
             # the on-device cast in train/steps._cast_inputs; halves the
@@ -162,6 +197,25 @@ class Trainer:
         # methods that build mesh-aware models (e.g. DORN's pipelined
         # layer3 under --pipeline_stages) read the mesh off the method
         self.method.mesh = self.mesh
+        device_aug_fn = None
+        if self.device_aug and isinstance(sample_batch, tuple):
+            from mono_depth_estimation_tpu.ops.device_aug import (
+                make_device_augment,
+            )
+
+            x_raw, y_raw = sample_batch
+            src_hw = tuple(x_raw.shape[1:3])
+            out_hw = tuple(self.method.output_size())
+            device_aug_fn = make_device_augment(
+                self.method.POLICY, src_hw, out_hw, self.method.resize()
+            )
+            # the model sees AUGMENTED (out_hw) shapes — init on those
+            sample_batch = (
+                np.zeros((x_raw.shape[0], *out_hw, x_raw.shape[-1]),
+                         x_raw.dtype),
+                np.zeros((y_raw.shape[0], *out_hw, y_raw.shape[-1]),
+                         np.float32),
+            )
         self.model, variables = self.method.init_variables(rng, sample_batch)
         self.optimizer = self.method.optimizer()
         params = variables["params"]
@@ -186,7 +240,7 @@ class Trainer:
             self.state = self.ckpt.restore(restore_ckpt, self.state)
         self._train_step = make_train_step(
             self.method, self.model, self.optimizer, self.compute_dtype,
-            remat=self.remat,
+            remat=self.remat, device_aug=device_aug_fn,
         )
         self._val_step = make_metric_step(
             self.method, self.model, self.metric_names, "val", self.compute_dtype

@@ -41,11 +41,19 @@ def _cast_inputs(batch, dtype):
     return jax.tree.map(cast, batch)
 
 
-def make_train_step(method, model, optimizer, compute_dtype=None,
-                    remat: bool = False):
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, rng):
+def _train_step_body(method, model, optimizer, compute_dtype, remat,
+                     device_aug):
+    """The pure (unjitted) train step — shared by the per-batch jit and
+    the fused K-step scan."""
+
+    def step(state: TrainState, batch, rng):
         batch_c = _cast_inputs(batch, compute_dtype)
+        if device_aug is not None:
+            # batched on-chip augmentation of the RAW sample the loader
+            # shipped (ops/device_aug.py): one gather instead of ~37
+            # CPU-core-ms/sample of cv2 on the host
+            rng, k_aug = jax.random.split(rng)
+            batch_c = device_aug(batch_c, k_aug)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -77,7 +85,52 @@ def make_train_step(method, model, optimizer, compute_dtype=None,
         logs = {k: v.astype(jnp.float32) for k, v in aux.get("logs", {}).items()}
         return new_state, loss, aux["y_hat"], aux["y"], logs
 
-    return train_step
+    return step
+
+
+def make_train_step(method, model, optimizer, compute_dtype=None,
+                    remat: bool = False, device_aug=None):
+    body = _train_step_body(method, model, optimizer, compute_dtype, remat,
+                            device_aug)
+    return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+
+def make_fused_train_step(method, model, optimizer, k: int,
+                          compute_dtype=None, remat: bool = False,
+                          device_aug=None):
+    """K train steps per dispatch: the caller stacks K host batches on a
+    new leading axis (leaves (K, B, ...), sharded with
+    shard_batch(..., axis=1)) and ONE jitted lax.scan consumes them.
+
+    Why: on dispatch-dominated runtimes (the tunneled dev TPU pays a
+    ~30 ms round trip per call, and per-call donated-state handling is
+    far worse — BASELINE.md fed-training notes) this divides the per-step
+    launch overhead by K while the TrainState never leaves HBM. On real
+    local hardware dispatch is ~us and K=1 behaves identically.
+
+    Returns ``fused(state, kbatch, rng) -> (state, losses (K,), y_hat, y,
+    logs)`` where y_hat/y/logs are the LAST step's (viz cadence only
+    needs a representative batch).
+    """
+    body = _train_step_body(method, model, optimizer, compute_dtype, remat,
+                            device_aug)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state: TrainState, kbatch, rng):
+        keys = jax.random.split(rng, k)
+
+        def scan_body(st, xs):
+            b, kk = xs
+            st, loss, y_hat, y, logs = body(st, b, kk)
+            return st, (loss, y_hat, y, logs)
+
+        state, (losses, y_hats, ys, logs) = jax.lax.scan(
+            scan_body, state, (kbatch, keys)
+        )
+        last = jax.tree.map(lambda a: a[-1], (y_hats, ys, logs))
+        return state, losses, last[0], last[1], last[2]
+
+    return fused
 
 
 def make_metric_step(method, model, metric_names: Sequence[str],

@@ -80,6 +80,53 @@ def test_cache_config_fingerprint_separates(stdepth_dir):
     assert sum(p.shape[-1] for p in gt_m) == 20
 
 
+def test_cache_concat_gt_views_equal_plane_list(stdepth_dir):
+    """concat_gt=True (the --device_aug fast path) must serve the SAME
+    values as the plane-list form, zero-copy (mmap-backed)."""
+    plain = RawDiskCache(_multi_ds(stdepth_dir))
+    for i in range(len(plain)):
+        _ = plain.get_raw(i)  # fill
+    fast = RawDiskCache(_multi_ds(stdepth_dir))
+    fast.concat_gt = True
+    for i in range(len(plain)):
+        rgb_p, planes = plain.get_raw(i)
+        rgb_f, gt = fast.get_raw(i)
+        np.testing.assert_array_equal(rgb_p, np.asarray(rgb_f))
+        np.testing.assert_array_equal(
+            np.concatenate(planes, axis=-1), np.asarray(gt)
+        )
+        assert isinstance(gt, np.memmap)  # truly zero-copy
+    # raw_collate consumes both forms identically
+    from mono_depth_estimation_tpu.ops.preproc import raw_collate
+
+    xa, ya = raw_collate(*plain.get_raw(0), None)
+    xb, yb = raw_collate(*fast.get_raw(0), None)
+    np.testing.assert_array_equal(xa, np.asarray(xb))
+    np.testing.assert_array_equal(ya, np.asarray(yb))
+
+
+def test_cache_gt_dtype_bf16_roundtrip(stdepth_dir):
+    """set_gt_dtype(bf16): stored targets equal the host cast the loaders
+    would do per epoch (cast_targets_host semantics), bit for bit, and the
+    cache dir re-keys so f32 runs never see quantized targets."""
+    import jax.numpy as jnp
+
+    plain = RawDiskCache(_multi_ds(stdepth_dir))
+    bf = RawDiskCache(_multi_ds(stdepth_dir))
+    bf.concat_gt = True
+    bf.set_gt_dtype(jnp.bfloat16)
+    assert bf.cache_dir != plain.cache_dir
+    for i in range(len(plain)):
+        _, planes = plain.get_raw(i)
+        _ = bf.get_raw(i)   # fill (miss returns the fresh f32 planes)
+        _, gt = bf.get_raw(i)  # hit: stored bf16, viewed back
+        assert gt.dtype == jnp.bfloat16
+        expect = np.concatenate(planes, axis=-1).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(gt).view(np.uint16), expect.view(np.uint16)
+        )
+
+
 def test_cache_invalidates_on_source_change(stdepth_dir):
     cached = RawDiskCache(_multi_ds(stdepth_dir))
     _ = cached.get_raw(0)

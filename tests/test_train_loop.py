@@ -138,6 +138,113 @@ def test_fit_bf16_precision_compresses_targets(tmp_path):
     assert np.isfinite(float(extras["val_loss"]))
 
 
+@pytest.mark.slow
+def test_fit_device_aug_end_to_end(tmp_path):
+    """--device_aug: loaders ship RAW samples (u8 rgb at source size, f32
+    gt), the jitted step augments on-chip (ops/device_aug.py), the model
+    inits and trains at the method's output geometry, and a full
+    fast-dev-run fit (train + val + checkpoint) completes."""
+    import jax.numpy as jnp
+
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+    method = _make_method()
+    train_ds = _StdepthStyleDataset(split="train", n_images=8,
+                                    image_size=(96, 128))
+    val_ds = _StdepthStyleDataset(split="val", n_images=2,
+                                  image_size=(96, 128))
+    trainer = Trainer(
+        method,
+        metrics=["mae"],
+        fast_dev_run=True,
+        precision=16,
+        device_aug=True,
+        run_name="device_aug_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+        logger=RunLogger(tmp_path, use_wandb=False),
+    )
+    train_loader, _, _ = trainer._loaders(train_ds, val_ds, None)
+    batch, _ = next(iter(train_loader))
+    x, y = batch
+    assert x.shape[1:] == (96, 128, 3) and x.dtype == np.uint8  # raw ship
+    assert y.shape[1:] == (96, 128, 10) and y.dtype == jnp.bfloat16
+    state = trainer.fit(train_ds, val_ds)
+    assert int(state.step) == 1
+    # the step really augmented: model params exist at output geometry
+    # (64x96), i.e. init consumed the synthesized out_hw batch
+    assert trainer.model.output_size == (64, 96)
+
+
+def test_device_aug_rejects_unsupported_policy():
+    method = _make_method()
+    method.POLICY = "dorn"
+    with pytest.raises(ValueError, match="device_aug supports"):
+        Trainer(method, metrics=["mae"], device_aug=True, worker=0)
+
+
+def test_fused_train_step_matches_sequential():
+    """make_fused_train_step(K): one dispatch scanning K batches must
+    produce the same TrainState as K make_train_step calls with the same
+    per-step keys (dispatch amortization cannot change the math)."""
+    import jax.numpy as jnp
+
+    from mono_depth_estimation_tpu.train.state import TrainState
+    from mono_depth_estimation_tpu.train.steps import (
+        make_fused_train_step,
+        make_train_step,
+    )
+
+    method = _make_method(batch_size=4)
+    rng = np.random.default_rng(0)
+    batches = [
+        (rng.random((4, 64, 96, 3), np.float32),
+         rng.random((4, 64, 96, 10), np.float32))
+        for _ in range(2)
+    ]
+    model, variables = method.init_variables(jax.random.PRNGKey(0), batches[0])
+    # SGD, not Adam: Adam's first-step update is +-lr*sign(g-hat), so
+    # f32 reduction-order noise on near-zero grad components flips whole
+    # updates between the scan-compiled and standalone-compiled bodies —
+    # sign amplification, not a fusion bug. SGD keeps the comparison at
+    # true float tolerance.
+    import optax
+
+    opt = optax.sgd(1e-3)
+
+    def fresh_state():
+        # deep-copy: both steps donate their TrainState, which deletes
+        # the donated buffers — the two runs must not share arrays
+        params = jax.tree.map(jnp.array, variables["params"])
+        bs = variables.get("batch_stats")
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=jax.tree.map(jnp.array, bs) if bs else None,
+            opt_state=opt.init(params),
+        )
+
+    key = jax.random.PRNGKey(7)
+    fused = make_fused_train_step(method, model, opt, k=2)
+    kbatch = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    st_f, losses, *_ = fused(fresh_state(), kbatch, key)
+    assert losses.shape == (2,)
+
+    step = make_train_step(method, model, opt)
+    st_s = fresh_state()
+    seq_losses = []
+    for b, k in zip(batches, jax.random.split(key, 2)):
+        st_s, loss, *_ = step(st_s, b, k)
+        seq_losses.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    assert int(st_f.step) == int(st_s.step) == 2
+    for pf, ps in zip(jax.tree.leaves(st_f.params),
+                      jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(pf, np.float32),
+                                   np.asarray(ps, np.float32),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_log_artifact_jsonl(tmp_path):
     import json
 

@@ -8,10 +8,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 import bench
 
-out = bench.bench_fed_train()
 extra = {}
 if bench.EXTRA_FILE.exists():
     extra = json.loads(bench.EXTRA_FILE.read_text())
-extra["fed_train"] = out
+only = sys.argv[1] if len(sys.argv) > 1 else None
+if only in (None, "host"):
+    extra["fed_train"] = bench.bench_fed_train()
+    print(json.dumps(extra["fed_train"], indent=1), flush=True)
+if only in (None, "device"):
+    extra["fed_train_device_aug"] = bench.bench_fed_train(device_aug=True)
+    print(json.dumps(extra["fed_train_device_aug"], indent=1), flush=True)
+if only in (None, "device", "fused"):
+    extra["fed_train_device_aug_fused4"] = bench.bench_fed_train(
+        device_aug=True, steps_per_dispatch=4
+    )
+    print(json.dumps(extra["fed_train_device_aug_fused4"], indent=1),
+          flush=True)
 bench.EXTRA_FILE.write_text(json.dumps(extra))
-print(json.dumps(out, indent=1))
