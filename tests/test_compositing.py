@@ -1,6 +1,7 @@
 """Golden tests for depth_sort / composite_layers / uncomposite_back against
 independent numpy implementations of the documented recurrences."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from mono_depth_estimation_tpu.ops.compositing import (
@@ -67,3 +68,47 @@ def test_uncomposite_back_roundtrip(rng):
     # alpha recovers exactly; color recovers where the solve is well-posed
     np.testing.assert_allclose(got_back[..., 3], back[..., 3], atol=1e-4)
     np.testing.assert_allclose(got_back[..., :3], back[..., :3], atol=1e-3)
+
+
+def test_depth_sort_network_matches_argsort_including_ties():
+    """The small-L sorting network (compare-select, cheap VJP) must equal
+    the stable argsort+gather form bit for bit — including tied depths,
+    where stability (input order preserved) is the reference's
+    torch.sort(stable=True) rule (stdepth_utils.py:4-16)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    for n_layers in (2, 3, 4):
+        layers = rng.uniform(0, 1, (2, n_layers, 6, 7, 5)).astype(np.float32)
+        # force plenty of ties in the depth channel
+        layers[..., -1] = rng.integers(0, 3, layers[..., -1].shape)
+        # tag each layer in channel 0 so stability violations are visible
+        layers[..., 0] = np.arange(n_layers, dtype=np.float32)[None, :, None, None]
+
+        j = jnp.asarray(layers)
+        got = np.asarray(depth_sort(j))
+        idx = jnp.argsort(jax.lax.stop_gradient(j[..., -1]), axis=1,
+                          stable=True)
+        want = np.asarray(jnp.take_along_axis(j, idx[..., None], axis=1))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_depth_sort_network_gradients_are_selects():
+    """Gradients flow through the selected layers (values), none through
+    the sort keys (stop_gradient), and match the gather form's VJP."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    layers = jnp.asarray(rng.uniform(0, 1, (1, 3, 4, 4, 5)).astype(np.float32))
+
+    def net(x):
+        return (depth_sort(x)[..., :4] ** 2).sum()
+
+    def gather(x):
+        idx = jnp.argsort(jax.lax.stop_gradient(x[..., -1]), axis=1,
+                          stable=True)
+        return (jnp.take_along_axis(x, idx[..., None], axis=1)[..., :4] ** 2).sum()
+
+    g_net = np.asarray(jax.grad(net)(layers))
+    g_gather = np.asarray(jax.grad(gather)(layers))
+    np.testing.assert_allclose(g_net, g_gather, atol=1e-6)
