@@ -86,11 +86,60 @@ def bench_jax_dorn() -> float:
     return BATCH / dt
 
 
+def _slope_time(make_run, args, n1=6, n2=30, reps=3, donate=False):
+    """Overhead-free steady-state sec/iteration on the tunneled runtime.
+
+    Round-3 finding (tools/calibrate_harness.py): every dispatched call pays
+    a CONSTANT ~26 ms (tunnel round trip + scalar readback) regardless of the
+    scan length n — a near-null body costs 26.2/26.4/28.0 ms total at
+    n=6/24/96. The round-2 harnesses divided one call's wall time by n, so
+    every number carried an additive 26/n ms per batch: ~3% on the 179 ms
+    flagship, but 27% on FCRN eval (16.6 ms measured vs 12.0 true) and
+    DOMINANT on profiler sub-stages. Compiling the same scan body at two
+    lengths and fitting sec/iter from the difference cancels the constant
+    exactly.
+
+    make_run(n) -> run(*args, key) returning a scalar (readback) when
+    donate=False, or (state, scalar) with args[0] donated when donate=True.
+    Returns (sec_per_iter, compiled_long, overhead_seconds).
+    """
+    import jax
+    import numpy as np
+
+    totals = {}
+    compiled_long = None
+    args = list(args)
+    for n in (n1, n2):
+        jitted = jax.jit(make_run(n), donate_argnums=(0,) if donate else ())
+        compiled = jitted.lower(*args, jax.random.PRNGKey(1)).compile()
+
+        def call(i):
+            out = compiled(*args, jax.random.PRNGKey(2 + i))
+            if donate:
+                args[0], loss = out
+                _ = float(loss)
+            else:
+                _ = np.asarray(out)
+
+        call(-1)  # warm (also re-materializes donated state)
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            call(i)
+            times.append(time.perf_counter() - t0)
+        totals[n] = float(np.median(times))
+        if n == n2:
+            compiled_long = compiled
+    dt = (totals[n2] - totals[n1]) / (n2 - n1)
+    return dt, compiled_long, totals[n1] - n1 * dt
+
+
 def bench_jax_dorn_steady(batch: int = BATCH, with_roofline: bool = False):
-    """Steady-state on-chip throughput: a single jitted lax.scan runs the
-    forward over ITERS distinct random batches (generated in-graph so XLA
-    cannot CSE the iterations), amortizing the host<->chip round trip that
-    dominates single-call timings on the tunneled runtime."""
+    """Steady-state on-chip throughput: a jitted lax.scan runs the forward
+    over n distinct in-graph batches (base + per-iter random scalar: fresh
+    inputs defeat CSE/memoization at O(1) harness cost), timed with the
+    two-point slope protocol (_slope_time) so the constant per-dispatch
+    tunnel cost cancels."""
     import jax
     import jax.numpy as jnp
 
@@ -99,30 +148,26 @@ def bench_jax_dorn_steady(batch: int = BATCH, with_roofline: bool = False):
     model = DORN(ord_num=68, input_size=SHAPE)
     init_fn = jax.jit(lambda r, xx: model.init(r, xx, train=False))
     variables = _bf16_params(init_fn(jax.random.PRNGKey(0), jnp.ones((1, *SHAPE, 3))))
-    n = 10
+    base = jax.random.uniform(jax.random.PRNGKey(0), (batch, *SHAPE, 3),
+                              jnp.bfloat16)
 
-    def run(variables, key):
-        def body(carry, k):
-            x = jax.random.uniform(k, (batch, *SHAPE, 3), jnp.bfloat16)
-            label, _ = model.apply(variables, x, train=False)
-            return carry + label.sum(), None
+    def make_run(n):
+        def run(variables, base, key):
+            def body(carry, k):
+                x = base + jax.random.uniform(k, (), jnp.bfloat16)
+                label, _ = model.apply(variables, x, train=False)
+                return carry + label.sum(), None
 
-        total, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, n))
-        return total
+            total, _ = jax.lax.scan(body, jnp.int32(0),
+                                    jax.random.split(key, n))
+            return total
 
-    import numpy as np
+        return run
 
-    compiled = jax.jit(run).lower(variables, jax.random.PRNGKey(1)).compile()
-    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))  # warm
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    ips = n * batch / dt
+    dt, compiled, _ = _slope_time(make_run, (variables, base))
+    ips = batch / dt
     if with_roofline:
-        return ips, _roofline_from_cost(compiled, dt / n, n_iters=1)
+        return ips, _roofline_from_cost(compiled, dt, n_iters=1)
     return ips
 
 
@@ -171,26 +216,23 @@ def bench_jax_bts_steady(b: int = 32) -> tuple[float, float]:
     variables = _bf16_params(
         init_fn(jax.random.PRNGKey(0), jnp.ones((1, 512, 512, 3)))
     )
-    n = 4
+    base = jax.random.uniform(jax.random.PRNGKey(0), (b, 512, 512, 3),
+                              jnp.bfloat16)
 
-    @jax.jit
-    def run(variables, key):
-        def body(carry, k):
-            x = jax.random.uniform(k, (b, 512, 512, 3), jnp.bfloat16)
-            out = model.apply(variables, x, train=False)[4]
-            return carry + out.sum().astype(jnp.float32), None
+    def make_run(n):
+        def run(variables, base, key):
+            def body(carry, k):
+                x = base + jax.random.uniform(k, (), jnp.bfloat16)
+                out = model.apply(variables, x, train=False)[4]
+                return carry + out.sum().astype(jnp.float32), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
-        return total
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jax.random.split(key, n))
+            return total
 
-    compiled = run.lower(variables, jax.random.PRNGKey(1)).compile()
-    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / n
+        return run
+
+    dt, compiled, _ = _slope_time(make_run, (variables, base), n1=4, n2=12)
     return b / dt, _roofline_from_cost(compiled, dt, n_iters=1)
 
 
@@ -228,47 +270,43 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
     )
     train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
                                  remat=remat)
-    n = 3
+    base_x = jax.random.uniform(jax.random.PRNGKey(3), (batch, h, w, 4),
+                                jnp.float32)
+    base_y = jax.random.uniform(jax.random.PRNGKey(4), (batch, h, w, 10),
+                                jnp.float32)
 
-    def run(state, key):
-        def body(carry, k):
-            st, _ = carry
-            kx, ky, ks = jax.random.split(k, 3)
-            xb = jax.random.uniform(kx, (batch, h, w, 4), jnp.float32)
-            yb = jax.random.uniform(ky, (batch, h, w, 10), jnp.float32)
-            st, loss, *_ = train_step(st, (xb, yb), ks)
-            return (st, loss), None
+    def make_run(n):
+        def run(state, base_x, base_y, key):
+            def body(carry, k):
+                st, _ = carry
+                kc, ks = jax.random.split(k)
+                c = jax.random.uniform(kc, (), jnp.float32)
+                st, loss, *_ = train_step(st, (base_x + c, base_y + c), ks)
+                return (st, loss), None
 
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)), jax.random.split(key, n)
-        )
-        return state, loss
+            (state, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jax.random.split(key, n)
+            )
+            return state, loss
 
-    run = jax.jit(run, donate_argnums=(0,))
+        return run
+
     try:
-        compiled = run.lower(state, jax.random.PRNGKey(1)).compile()
-        state, loss = compiled(state, jax.random.PRNGKey(1))
-        _ = float(loss)
+        dt, compiled, _ = _slope_time(make_run, (state, base_x, base_y),
+                                      n1=3, n2=9, donate=True)
     except Exception as e:
         if not remat and _is_oom(e):
             return bench_bts_train_steady(batch, size, remat=True)
         raise
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        state, loss = compiled(state, jax.random.PRNGKey(2 + i))
-        _ = float(loss)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / n
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
-def _steady_eval(model, size, batch, n=6, train_kw=True):
-    """Generic steady-state eval fwd: in-graph scan over n distinct random
-    batches, bf16 weights, host readback. Returns (images/sec, roofline)."""
+def _steady_eval(model, size, batch, train_kw=True):
+    """Generic steady-state eval fwd: in-graph scan over distinct batches
+    (base + per-iter scalar), bf16 weights, two-point slope timing.
+    Returns (images/sec, roofline)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     apply = (lambda v, x: model.apply(v, x, train=False)) if train_kw else (
         lambda v, x: model.apply(v, x))
@@ -277,27 +315,25 @@ def _steady_eval(model, size, batch, n=6, train_kw=True):
     variables = _bf16_params(
         init_fn(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
     )
+    base = jax.random.uniform(jax.random.PRNGKey(0), (batch, *size, 3),
+                              jnp.bfloat16)
 
-    @jax.jit
-    def run(variables, key):
-        def body(carry, k):
-            x = jax.random.uniform(k, (batch, *size, 3), jnp.bfloat16)
-            out = apply(variables, x)
-            tot = sum(o.astype(jnp.float32).sum()
-                      for o in jax.tree_util.tree_leaves(out))
-            return carry + tot, None
+    def make_run(n):
+        def run(variables, base, key):
+            def body(carry, k):
+                x = base + jax.random.uniform(k, (), jnp.bfloat16)
+                out = apply(variables, x)
+                tot = sum(o.astype(jnp.float32).sum()
+                          for o in jax.tree_util.tree_leaves(out))
+                return carry + tot, None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
-        return total
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jax.random.split(key, n))
+            return total
 
-    compiled = run.lower(variables, jax.random.PRNGKey(1)).compile()
-    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / n
+        return run
+
+    dt, compiled, _ = _slope_time(make_run, (variables, base))
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1)
 
 
@@ -347,12 +383,13 @@ def bench_zoo() -> dict:
 
 
 def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
-                         n=3, remat=False):
+                         remat=False):
     """Generic steady-state TRAIN-step bench (loss + grads + optimizer
     update) for one zoo method at its reference train geometry, with
     parser-default method args — the train-side twin of _steady_eval.
-    Batches are generated in-graph per scan iteration so XLA cannot CSE
-    them. Falls back to rematerialization on RESOURCE_EXHAUSTED."""
+    Batches vary per scan iteration (base + scalar) so XLA cannot CSE
+    them; two-point slope timing. Falls back to rematerialization on
+    RESOURCE_EXHAUSTED."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -383,13 +420,6 @@ def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
             }
         return (x, y)
 
-    def rand_batch(k):
-        kx, ky = jax.random.split(k)
-        x = jax.random.uniform(kx, (batch, h, w, x_ch), jnp.float32)
-        y = jax.random.uniform(ky, (batch, h, w, y_ch), jnp.float32,
-                               minval=0.1, maxval=1.0)
-        return make_batch(x, y)
-
     host = make_batch(
         jnp.ones((batch, h, w, x_ch), jnp.float32),
         jnp.full((batch, h, w, y_ch), 0.5, jnp.float32),
@@ -404,36 +434,37 @@ def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
     )
     train_step = make_train_step(method, model, optimizer, jnp.bfloat16,
                                  remat=remat)
+    base_x = jax.random.uniform(jax.random.PRNGKey(3), (batch, h, w, x_ch),
+                                jnp.float32)
+    base_y = jax.random.uniform(jax.random.PRNGKey(4), (batch, h, w, y_ch),
+                                jnp.float32, minval=0.1, maxval=1.0)
 
-    def run(state, key):
-        def body(carry, k):
-            st, _ = carry
-            kb, ks = jax.random.split(k)
-            st, loss, *_ = train_step(st, rand_batch(kb), ks)
-            return (st, loss), None
+    def make_run(n):
+        def run(state, base_x, base_y, key):
+            def body(carry, k):
+                st, _ = carry
+                kc, ks = jax.random.split(k)
+                c = jax.random.uniform(kc, (), jnp.float32)
+                st, loss, *_ = train_step(
+                    st, make_batch(base_x + c, base_y + c), ks
+                )
+                return (st, loss), None
 
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)), jax.random.split(key, n)
-        )
-        return state, loss
+            (state, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jax.random.split(key, n)
+            )
+            return state, loss
 
-    run = jax.jit(run, donate_argnums=(0,))
+        return run
+
     try:
-        compiled = run.lower(state, jax.random.PRNGKey(1)).compile()
-        state, loss = compiled(state, jax.random.PRNGKey(1))
-        _ = float(loss)
+        dt, compiled, _ = _slope_time(make_run, (state, base_x, base_y),
+                                      n1=3, n2=9, donate=True)
     except Exception as e:
         if not remat and _is_oom(e):
             return _steady_train_method(name, size, batch, x_ch, y_ch,
-                                        extra_argv, n, remat=True)
+                                        extra_argv, remat=True)
         raise
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        state, loss = compiled(state, jax.random.PRNGKey(2 + i))
-        _ = float(loss)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / n
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
@@ -743,32 +774,30 @@ def bench_train_step() -> float:
         opt_state=optimizer.init(variables["params"]),
     )
     train_step = make_train_step(method, model, optimizer, jnp.bfloat16)
-    n = 5
+    base_x = jax.random.uniform(jax.random.PRNGKey(3), (b, h, w, 4),
+                                jnp.float32)
+    base_y = jax.random.uniform(jax.random.PRNGKey(4), (b, h, w, 10),
+                                jnp.float32)
 
-    def run(state, key):
-        def body(carry, k):
-            st, _ = carry
-            kx, ky, ks = jax.random.split(k, 3)
-            xb = jax.random.uniform(kx, (b, h, w, 4), jnp.float32)
-            yb = jax.random.uniform(ky, (b, h, w, 10), jnp.float32)
-            st, loss, *_ = train_step(st, (xb, yb), ks)
-            return (st, loss), None
+    def make_run(n):
+        def run(state, base_x, base_y, key):
+            def body(carry, k):
+                st, _ = carry
+                kc, ks = jax.random.split(k)
+                c = jax.random.uniform(kc, (), jnp.float32)
+                st, loss, *_ = train_step(st, (base_x + c, base_y + c), ks)
+                return (st, loss), None
 
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)), jax.random.split(key, n)
-        )
-        return state, loss
+            (state, loss), _ = jax.lax.scan(
+                body, (state, jnp.float32(0)), jax.random.split(key, n)
+            )
+            return state, loss
 
-    run = jax.jit(run, donate_argnums=(0,))
-    state, loss = run(state, jax.random.PRNGKey(1))
-    _ = float(loss)  # compile+sync
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        state, loss = run(state, jax.random.PRNGKey(2 + i))
-        _ = float(loss)
-        times.append(time.perf_counter() - t0)
-    return n * b / float(np.median(times))
+        return run
+
+    dt, _, _ = _slope_time(make_run, (state, base_x, base_y), n1=5, n2=25,
+                           donate=True)
+    return b / dt
 
 
 def bench_torch_cpu_dorn() -> float:

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -22,36 +21,41 @@ enable_compilation_cache()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import bench  # _roofline_from_cost, _bf16_params
 
 
-def steady_ms(fn, variables, in_shape, batch, n=6):
-    """Median ms/batch for fn(variables, x) over n in-graph random batches
-    (same protocol as bench._steady_eval)."""
+def steady_ms(fn, variables, in_shape, batch):
+    """Overhead-free ms/batch for fn(variables, x): in-graph scan over
+    distinct batches (base + per-step random scalar — fresh inputs defeat
+    XLA loop-invariant hoisting and the tunnel's (program, inputs)
+    memoization at O(1) harness cost), timed with bench._slope_time so the
+    constant ~26 ms per-dispatch tunnel cost cancels. The round-2 version's
+    full-tensor in-graph RNG *and* single-n timing both inflated small
+    stages (see tools/calibrate_harness.py)."""
 
-    def run(variables, key):
-        def body(carry, k):
-            x = jax.random.uniform(k, (batch, *in_shape), jnp.bfloat16)
-            out = fn(variables, x)
-            tot = sum(
-                o.astype(jnp.float32).sum()
-                for o in jax.tree_util.tree_leaves(out)
+    def make_run(n):
+        def run(variables, base, key):
+            def body(carry, k):
+                x = base + jax.random.uniform(k, (), jnp.bfloat16)
+                out = fn(variables, x)
+                tot = sum(
+                    o.astype(jnp.float32).sum()
+                    for o in jax.tree_util.tree_leaves(out)
+                )
+                return carry + tot, None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jax.random.split(key, n)
             )
-            return carry + tot, None
+            return total
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, n))
-        return total
+        return run
 
-    compiled = jax.jit(run).lower(variables, jax.random.PRNGKey(1)).compile()
-    _ = np.asarray(compiled(variables, jax.random.PRNGKey(1)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(compiled(variables, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / n
+    base = jax.random.uniform(
+        jax.random.PRNGKey(0), (batch, *in_shape), jnp.bfloat16
+    )
+    dt, compiled, _ = bench._slope_time(make_run, (variables, base))
     roof = bench._roofline_from_cost(compiled, dt, n_iters=1)
     return {
         "ms_per_batch": round(dt * 1e3, 3),
@@ -142,15 +146,19 @@ def profile_fcrn(batch=32):
         lambda v, x: enc.apply(v, x, train=False)[-1], enc_vars, (*size, 3),
         batch,
     )
+    # prefix ablation: summing only feats[i] dead-code-eliminates everything
+    # after tap i, so tap_i - tap_{i-1} prices each ResNet stage
+    n_taps = len(enc.apply(
+        enc_vars, jnp.ones((1, *size, 3), jnp.bfloat16), train=False
+    ))
+    for i in range(n_taps):
+        out[f"encoder_to_tap{i}"] = steady_ms(
+            lambda v, x, i=i: enc.apply(v, x, train=False)[i],
+            enc_vars, (*size, 3), batch,
+        )
 
-    # decoder alone: feed the encoder's output shape (8x10x2048 @240x320)
-    def decoder_only(v, f):
-        # replicate FCRN.__call__ after the encoder using the full variable
-        # tree — run the whole model but from the bottleneck. Simplest exact
-        # form: full minus encoder is estimated as full - encoder_only.
-        return f.sum()
-
-    del decoder_only
+    # decoder cost = full - encoder_only: with the slope protocol the
+    # constant dispatch cost cancels, so the subtraction is meaningful.
     return out
 
 
@@ -182,6 +190,11 @@ def profile_mynet(batch=16):
         lambda v, x: [f.sum() for f in enc.apply(v, x, train=False)],
         enc_vars, (*size, 3), batch,
     )
+    for i in range(5):
+        out[f"encoder_to_tap{i}"] = steady_ms(
+            lambda v, x, i=i: enc.apply(v, x, train=False)[i],
+            enc_vars, (*size, 3), batch,
+        )
 
     # the Weighter's NHWC->NCHW transpose+Dense is a suspect: time it alone
     # on the three (B, 192, 192, 64) branch maps
@@ -206,8 +219,8 @@ def main():
     which = sys.argv[1:] or ["eigen", "fcrn", "mynet"]
     res = {}
     for name in which:
-        fn = {"eigen": profile_eigen, "fcrn": profile_fcrn,
-              "mynet": profile_mynet}[name]
+        fn = {"eigen": profile_eigen,
+              "fcrn": profile_fcrn, "mynet": profile_mynet}[name]
         try:
             res[name] = fn()
         except Exception as e:
