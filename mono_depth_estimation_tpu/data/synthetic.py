@@ -83,6 +83,10 @@ class SyntheticDepthDataset(BaseDataset):
         parser.add_argument("--validation", action="store_true")
         parser.add_argument("--test", action="store_true")
         parser.add_argument("--n_images", type=int, default=16)
+        # source-scene resolution (GT maps are evaluated at this size, like
+        # nyu's 480x640); tests shrink it to cut CPU metric/resize cost
+        parser.add_argument("--image_size", type=int, nargs=2,
+                            default=(480, 640))
         return parser
 
 

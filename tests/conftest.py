@@ -22,6 +22,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("MDE_TEST_PLATFORM", "cpu"))
 
+# Persistent, machine-scoped compile cache (utils/jax_setup): the suite's
+# cost is dominated by XLA:CPU compiles of real models, and every entry
+# point already uses this cache — a warm rerun of the slow suite drops from
+# tens of minutes to minutes. The cpu_aot_loader "+prefer-no-scatter"
+# E-log on cache hits is a documented jaxlib-0.9.0 false positive
+# (see utils/jax_setup._machine_tag).
+from mono_depth_estimation_tpu.utils.jax_setup import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

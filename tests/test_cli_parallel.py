@@ -39,7 +39,8 @@ def test_cli_pipeline_stages_parity(tmp_path, monkeypatch):
     GPipe'd over a (1, 2) mesh == the plain run, through the full CLI
     eval path (loader, padding, metric steps)."""
     monkeypatch.chdir(tmp_path)
-    argv = [*COMMON, "synthetic", "--n_images", "4", "--test",
+    argv = [*COMMON, "synthetic", "--n_images", "4",
+            "--image_size", "120", "160", "--test",
             "dorn", "--batch_size", "4", "--pretrained", "0",
             "--ord_num", "8"]
     base = _eval(["--gpus", "2", *argv], input_size=(64, 96))
@@ -57,7 +58,8 @@ def test_cli_spatial_parity(tmp_path, monkeypatch):
     """--spatial 4: Eigen eval with the 240-row image H axis sharded over
     4 devices (GSPMD halo exchanges) == the batch-sharded run."""
     monkeypatch.chdir(tmp_path)
-    argv = [*COMMON, "synthetic", "--n_images", "4", "--test",
+    argv = [*COMMON, "synthetic", "--n_images", "4",
+            "--image_size", "120", "160", "--test",
             "eigen", "--batch_size", "4", "--pretrained", "0"]
     base = _eval(["--gpus", "4", *argv])
     spatial = _eval(["--gpus", "4", "--spatial", "4", *argv])

@@ -105,7 +105,7 @@ def test_export_cli_selftest_and_standalone_predict(tmp_path, monkeypatch,
     from mono_depth_estimation_tpu.cli.train import main as train_main
 
     common = ["--worker", "0", "--precision", "32", "--metrics", "delta1"]
-    data = ["synthetic", "--n_images", "4"]
+    data = ["synthetic", "--n_images", "4", "--image_size", "120", "160"]
     train_main(["--name", "exp", "--max_epochs", "1", "--min_epochs", "1",
                 *common, *data, "--training", "--validation",
                 "eigen", "--batch_size", "4", "--pretrained", "0"])
