@@ -854,9 +854,10 @@ def main():
 
     # headline: steady-state on-chip throughput (in-graph scan over distinct
     # inputs, fully synced) — per-call timing is dominated by the tunnel's
-    # ~30 ms round trip and recorded in extras instead. Batch 16 is the
-    # measured throughput sweet spot since the matmul-form align-corners
-    # resize (sweep: 481 @ b8, 512 @ b16, 498 @ b32; BASELINE.md).
+    # ~30 ms round trip and recorded in extras instead. Batch 16 remains the
+    # sweet spot after the pre-resize ordinal deinterleave (slope-protocol
+    # sweep: 645.8 @ b8, 637.7 @ b16 — a tie within noise — 578.7 @ b32;
+    # profile_dorn.json).
     ips = bench_jax_dorn_steady(batch=16)
 
     if not args.skip_extra:

@@ -108,18 +108,36 @@ class SceneUnderstandingModule(nn.Module):
         out = ConvRelu(2048, kernel=1)(out)
         out = nn.Dropout(self.dropout_prob, deterministic=not train)(out)
         out = Conv(int(self.ord_num * 2), kernel=1, use_bias=True)(out)
+        # Deinterleave the (A_k, B_k) channel pairs BEFORE the full-resolution
+        # upsample: per-channel bilinear resize commutes with channel
+        # permutation bit-exactly, and the stride-2 gather runs on the 33x45
+        # grid instead of the 257x353 one, where the lane-dim shuffle cost
+        # ~5 ms/batch at ~0% MFU (profile_dorn.json 'head_only'). Output
+        # layout is therefore [A_0..A_K, B_0..B_K] halves, not interleaved.
+        out = jnp.concatenate([out[..., 0::2], out[..., 1::2]], axis=-1)
         return resize_bilinear(out, self.size, align_corners=True)
 
 
-def ordinal_regression(logits: jax.Array) -> tuple[jax.Array, jax.Array]:
+def ordinal_regression(
+    logits: jax.Array, interleaved: bool = True
+) -> tuple[jax.Array, jax.Array]:
     """(B, H, W, 2K) logits -> (decoded labels (B,H,W,1), P(l>k) (B,H,W,K)).
 
     Matches Dorn.py:288-321: channels alternate (A_k, B_k); prob = softmax
     over the clamped pair, taken at index 1. Computed as
     sigmoid(clip(B) - clip(A)) — exactly softmax([A,B])[1].
+
+    ``interleaved=False`` reads the [A_0..A_K, B_0..B_K] halves layout that
+    SceneUnderstandingModule emits (deinterleaved pre-resize; contiguous
+    half slices cost nothing on the lane dimension at full resolution).
     """
-    a = jnp.clip(logits[..., 0::2], 1e-8, 1e4)
-    b = jnp.clip(logits[..., 1::2], 1e-8, 1e4)
+    if interleaved:
+        a_raw, b_raw = logits[..., 0::2], logits[..., 1::2]
+    else:
+        k = logits.shape[-1] // 2
+        a_raw, b_raw = logits[..., :k], logits[..., k:]
+    a = jnp.clip(a_raw, 1e-8, 1e4)
+    b = jnp.clip(b_raw, 1e-8, 1e4)
     prob = jax.nn.sigmoid(b - a)
     label = jnp.sum((prob > 0.5).astype(jnp.int32), axis=-1, keepdims=True)
     return label, prob
@@ -164,5 +182,5 @@ class DORN(nn.Module):
             pyramid=self.pyramid,
             dropout_prob=self.dropout_prob,
         )(feat, train=train)
-        label, prob = ordinal_regression(logits)
+        label, prob = ordinal_regression(logits, interleaved=False)
         return label, prob

@@ -62,10 +62,15 @@ def profile_stages(batch=16):
         batch,
     )
 
+    def subvars(name):
+        v = {"params": variables["params"][name]}
+        bs = variables.get("batch_stats", {})
+        if name in bs:  # the scene module's ASPP is conv+relu, no BN
+            v["batch_stats"] = bs[name]
+        return v
+
     enc = ResNetEncoder(config=RESNET_PRESETS["dorn_resnet101"])
-    enc_vars = {"params": variables["params"]["ResNetEncoder_0"]}
-    if "batch_stats" in variables:
-        enc_vars["batch_stats"] = variables["batch_stats"]["ResNetEncoder_0"]
+    enc_vars = subvars("ResNetEncoder_0")
     n_taps = len(enc.apply(
         enc_vars, jnp.ones((1, *SIZE, 3), jnp.bfloat16), train=False
     ))
@@ -76,10 +81,7 @@ def profile_stages(batch=16):
         )
 
     scene = SceneUnderstandingModule(ord_num=68, size=SIZE)
-    sc_vars = {"params": variables["params"]["SceneUnderstandingModule_0"]}
-    if "batch_stats" in variables:
-        sc_vars["batch_stats"] = (
-            variables["batch_stats"]["SceneUnderstandingModule_0"])
+    sc_vars = subvars("SceneUnderstandingModule_0")
     feat_shape = (SIZE[0] // 8 + 1, SIZE[1] // 8 + 1, 2048)  # 33x45x2048
     out["scene_only"] = steady_ms(
         lambda v, x: scene.apply(v, x, train=False), sc_vars, feat_shape,
