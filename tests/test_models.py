@@ -92,6 +92,21 @@ def test_dorn_ordinal_decode_matches_threshold_sum():
     )
 
 
+def test_dorn_ordinal_halves_layout_matches_interleaved():
+    """The halves layout (SceneUnderstandingModule's deinterleaved-pre-resize
+    output) must decode identically to the interleaved layout it permutes."""
+    from mono_depth_estimation_tpu.models.dorn import ordinal_regression
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(2, 5, 7, 12)).astype("float32"))
+    halves = jnp.concatenate([logits[..., 0::2], logits[..., 1::2]], axis=-1)
+    l_i, p_i = ordinal_regression(logits)
+    l_h, p_h = ordinal_regression(halves, interleaved=False)
+    assert np.array_equal(np.asarray(l_i), np.asarray(l_h))
+    assert np.array_equal(np.asarray(p_i), np.asarray(p_h))
+
+
 def test_midas_shape():
     from mono_depth_estimation_tpu.models.midas import MidasNet
 
