@@ -215,20 +215,93 @@ def profile_mynet(batch=16):
     return out
 
 
+def profile_vnl(batch=16):
+    """VNL (the last zoo model without a documented roofline bound:
+    205.5 img/s at 37.3% MFU / 53% BW). Suspect: the decoder tail runs at
+    HALF and FULL 385x385 resolution (fcn_last_block + the dilated 3x3
+    256->150 predict head, VNL.py:317-327,376-388)."""
+    from flax import linen as nn
+
+    from mono_depth_estimation_tpu.models.encoders.resnet import (
+        RESNET_PRESETS,
+        ResNetEncoder,
+    )
+    from mono_depth_estimation_tpu.models.vnl import (
+        VNL_ENCODERS,
+        Conv,
+        FTBBlock,
+        MetricDepthModel,
+    )
+    from mono_depth_estimation_tpu.ops.resize import resize_bilinear
+
+    size = (385, 385)
+    model = MetricDepthModel(crop_size=size)
+    init = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = bench._bf16_params(
+        init(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+    out = {}
+    out["full"] = steady_ms(
+        lambda v, x: model.apply(v, x, train=False), variables, (*size, 3),
+        batch,
+    )
+
+    _, preset = VNL_ENCODERS[model.encoder]
+    enc = ResNetEncoder(config=RESNET_PRESETS[preset])
+    enc_vars = {"params": variables["params"]["ResNetEncoder_0"]}
+    if "batch_stats" in variables:
+        enc_vars["batch_stats"] = variables["batch_stats"]["ResNetEncoder_0"]
+    n_taps = len(enc.apply(
+        enc_vars, jnp.ones((1, *size, 3), jnp.bfloat16), train=False
+    ))
+    for i in range(n_taps):
+        out[f"encoder_to_tap{i}"] = steady_ms(
+            lambda v, x, i=i: enc.apply(v, x, train=False)[i],
+            enc_vars, (*size, 3), batch,
+        )
+
+    # Full/half-resolution tail as fresh-init modules (timing only — conv
+    # speed does not depend on weight values): FTB @193, resize to 385,
+    # dilated predict head + softmax, exactly the model's last four ops.
+    class Tail(nn.Module):
+        @nn.compact
+        def __call__(self, t, train=False):
+            t = FTBBlock(256)(t, train=train)
+            t = resize_bilinear(t, size, align_corners=True)
+            logit = Conv(150, kernel=3, dilation=2, use_bias=True)(t)
+            return logit, jax.nn.softmax(logit, axis=-1)
+
+    tail = Tail()
+    half = (193, 193, 256)
+    tail_vars = bench._bf16_params(
+        jax.jit(lambda r, x: tail.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.ones((1, *half))
+        )
+    )
+    out["fullres_tail"] = steady_ms(
+        lambda v, x: tail.apply(v, x, train=False), tail_vars, half, batch
+    )
+    return out
+
+
 def main():
-    which = sys.argv[1:] or ["eigen", "fcrn", "mynet"]
+    which = sys.argv[1:] or ["eigen", "fcrn", "mynet", "vnl"]
     res = {}
     for name in which:
         fn = {"eigen": profile_eigen,
-              "fcrn": profile_fcrn, "mynet": profile_mynet}[name]
+              "fcrn": profile_fcrn, "mynet": profile_mynet,
+              "vnl": profile_vnl}[name]
         try:
             res[name] = fn()
         except Exception as e:
             res[name] = {"error": str(e)[:300]}
         print(name, json.dumps(res[name], indent=1), flush=True)
-    Path(__file__).parent.parent.joinpath("profile_zoo.json").write_text(
-        json.dumps(res, indent=1)
-    )
+    record = Path(__file__).parent.parent / "profile_zoo.json"
+    if record.exists():  # merge: a partial rerun keeps the other models
+        merged = json.loads(record.read_text())
+        merged.update(res)
+        res = merged
+    record.write_text(json.dumps(res, indent=1))
 
 
 if __name__ == "__main__":
