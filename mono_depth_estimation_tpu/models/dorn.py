@@ -79,7 +79,14 @@ class FullImageEncoder(nn.Module):
 
 
 class SceneUnderstandingModule(nn.Module):
-    """ASPP + global-context fusion -> 2*ord_num logits (Dorn.py:83-128)."""
+    """ASPP + global-context fusion -> 2*ord_num logits (Dorn.py:83-128).
+
+    LAYOUT HAZARD: the returned logits are in the halves layout
+    [A_0..A_K, B_0..B_K] (deinterleaved before the full-res upsample for
+    speed), NOT the reference's interleaved (A_k, B_k) pairing — decode
+    with ``ordinal_regression(..., interleaved=False)``. Both layouts have
+    the same shape, so a mismatch decodes garbage with no shape error.
+    """
 
     ord_num: int
     size: tuple[int, int]
@@ -119,7 +126,7 @@ class SceneUnderstandingModule(nn.Module):
 
 
 def ordinal_regression(
-    logits: jax.Array, interleaved: bool = True
+    logits: jax.Array, *, interleaved: bool
 ) -> tuple[jax.Array, jax.Array]:
     """(B, H, W, 2K) logits -> (decoded labels (B,H,W,1), P(l>k) (B,H,W,K)).
 
@@ -127,9 +134,13 @@ def ordinal_regression(
     over the clamped pair, taken at index 1. Computed as
     sigmoid(clip(B) - clip(A)) — exactly softmax([A,B])[1].
 
-    ``interleaved=False`` reads the [A_0..A_K, B_0..B_K] halves layout that
-    SceneUnderstandingModule emits (deinterleaved pre-resize; contiguous
-    half slices cost nothing on the lane dimension at full resolution).
+    ``interleaved`` is REQUIRED keyword-only (ADVICE r3 #2): the two layouts
+    have identical shapes, so a wrong guess silently mis-pairs (A_k, B_k)
+    and decodes garbage with no shape error. ``interleaved=True`` reads the
+    reference's alternating layout; ``interleaved=False`` reads the
+    [A_0..A_K, B_0..B_K] halves layout that SceneUnderstandingModule emits
+    (deinterleaved pre-resize; contiguous half slices cost nothing on the
+    lane dimension at full resolution).
     """
     if interleaved:
         a_raw, b_raw = logits[..., 0::2], logits[..., 1::2]

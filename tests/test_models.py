@@ -79,7 +79,7 @@ def test_dorn_ordinal_decode_matches_threshold_sum():
 
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(2, 4, 4, 10)).astype("float32"))
-    label, prob = ordinal_regression(logits)
+    label, prob = ordinal_regression(logits, interleaved=True)
     # P(l>k) = softmax over clamped (even, odd) pairs, index 1
     a = np.clip(np.asarray(logits)[..., 0::2], 1e-8, 1e4)
     b = np.clip(np.asarray(logits)[..., 1::2], 1e-8, 1e4)
@@ -101,7 +101,7 @@ def test_dorn_ordinal_halves_layout_matches_interleaved():
     rng = np.random.default_rng(1)
     logits = jnp.asarray(rng.normal(size=(2, 5, 7, 12)).astype("float32"))
     halves = jnp.concatenate([logits[..., 0::2], logits[..., 1::2]], axis=-1)
-    l_i, p_i = ordinal_regression(logits)
+    l_i, p_i = ordinal_regression(logits, interleaved=True)
     l_h, p_h = ordinal_regression(halves, interleaved=False)
     assert np.array_equal(np.asarray(l_i), np.asarray(l_h))
     assert np.array_equal(np.asarray(p_i), np.asarray(p_h))

@@ -6,7 +6,11 @@ Same slope-timed protocol as tools/profile_zoo.py. Stages:
                   suffix), tap4 = the 2048-ch 33x45 feature the scene
                   module consumes
   scene_only    — SceneUnderstandingModule on a fixed backbone feature
-  head_only     — ordinal decode + align-corners resize on fixed logits
+  head_only     — ordinal decode on fixed full-res logits, SHIPPED halves
+                  layout (the resize lives in scene_only's tail)
+  head_only_interleaved — same decode on the pre-fix interleaved layout,
+                  kept so the 'head 5.6 -> 0.8 ms' claim in BASELINE.md
+                  stays reproducible (ADVICE r3 #1)
 Also sweeps the headline batch size under the corrected protocol (the
 round-2 sweep's b16 sweet spot carried a 26/n ms dispatch floor).
 
@@ -89,7 +93,12 @@ def profile_stages(batch=16):
     )
 
     out["head_only"] = steady_ms(
-        lambda v, x: ordinal_regression(x), {}, (*SIZE, 136), batch,
+        lambda v, x: ordinal_regression(x, interleaved=False), {},
+        (*SIZE, 136), batch,
+    )
+    out["head_only_interleaved"] = steady_ms(
+        lambda v, x: ordinal_regression(x, interleaved=True), {},
+        (*SIZE, 136), batch,
     )
     return out
 

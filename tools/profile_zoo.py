@@ -299,7 +299,11 @@ def main():
     record = Path(__file__).parent.parent / "profile_zoo.json"
     if record.exists():  # merge: a partial rerun keeps the other models
         merged = json.loads(record.read_text())
-        merged.update(res)
+        # only merge SUCCESSFUL entries: a failed partial rerun must not
+        # overwrite a previously good measurement (ADVICE r3 #3)
+        for name, entry in res.items():
+            if "error" not in entry or name not in merged:
+                merged[name] = entry
         res = merged
     record.write_text(json.dumps(res, indent=1))
 
