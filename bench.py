@@ -5,13 +5,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol (BASELINE.json config 4): DORN — deep-stem dilated ResNet-101 +
 SceneUnderstanding + ordinal decode — eval forward at its native 257x353,
 bf16 on TPU, batch 16 (the measured throughput sweet spot; the torch-CPU
-baseline is batch-insensitive). DORN is the one reference model that runs without
-torchvision/torch.hub, so the baseline is the REFERENCE CODE ITSELF on CPU
-(vendored torch ResNet, /root/reference/network/Dorn.py), measured once and
-cached in bench_baseline.json (--remeasure-baseline to refresh).
+baseline is batch-insensitive). The baseline is the REFERENCE CODE ITSELF on
+CPU (vendored torch ResNet, /root/reference/network/Dorn.py), measured once
+and cached in bench_baseline.json (--remeasure-baseline to refresh;
+round-4 remeasured median 0.4538 img/s). Reference torch-CPU baselines for
+the OTHER seven families live in bench_baseline.json["zoo"]
+(tools/bench_torch_cpu_zoo.py, via the vendored torchvision-compatible
+encoders in tests/vendored_torch_encoders.py).
 
-A second absolute number (flagship BTS-dn161 512x512 eval) is kept in
-bench_extra.json for the record.
+Additional absolute numbers (flagship BTS-dn161 512x512 eval/train, the
+full zoo eval+train sweeps) are kept in bench_extra.json for the record.
 """
 
 from __future__ import annotations
