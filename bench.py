@@ -185,7 +185,18 @@ def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict
     from the compiled program's cost model. For HBM-bound models (BTS's
     DenseNet concat stacks — BASELINE.md roofline) bw_util is the number that
     says how close the program is to its own speed-of-light; MFU alone
-    understates kernel quality there."""
+    understates kernel quality there.
+
+    Corrected model (VERDICT r3 weak #6 / task #8): the compiler's "bytes
+    accessed" are LOGICAL — every operand+output of every op, counted even
+    when XLA fuses the op into its producer and the buffer never touches
+    HBM — so the raw ratio can exceed 1.0 (round-3 zoo_train: laina 1.44,
+    vnl 1.29). Reported ``bw_util`` is therefore capped at 1.0; whenever the
+    cap binds, the physically impossible excess is PROOF that XLA fused away
+    at least (1 - 1/logical) of the logical traffic, and the uncapped value
+    is kept in ``bw_util_logical`` so the record still shows it. Rows where
+    the cap does not bind are unchanged (their logical bytes are an upper
+    bound on traffic, so bw_util is an upper bound on true utilization)."""
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
@@ -193,11 +204,16 @@ def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict
         return {"mfu": 0.0, "bytes_gb": 0.0, "bw_util": 0.0}
     fl = float(ca.get("flops", 0.0)) / n_iters
     by = float(ca.get("bytes accessed", 0.0)) / n_iters
-    return {
+    util = by / sec_per_iter / 819e9 if by > 0 else 0.0
+    out = {
         "mfu": fl / sec_per_iter / 197e12 if fl > 0 else 0.0,
         "bytes_gb": by / 1e9,
-        "bw_util": by / sec_per_iter / 819e9 if by > 0 else 0.0,
+        "bw_util": min(util, 1.0),
     }
+    if util > 1.0:
+        out["bw_util_logical"] = util
+        out["min_fused_fraction"] = 1.0 - 1.0 / util
+    return out
 
 
 def bench_jax_bts_steady(b: int = 32) -> tuple[float, float]:
