@@ -536,7 +536,8 @@ def bench_zoo_train(deadline: float | None = None) -> dict:
 def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
                     timed_epochs: int = 2, workers: int = 8,
                     remat: bool = False, device_aug: bool = False,
-                    steps_per_dispatch: int = 1) -> dict:
+                    steps_per_dispatch: int = 1, shm: bool = False,
+                    shm_copy: bool = True) -> dict:
     """END-TO-END fed training throughput for the flagship config (VERDICT
     r2 task 4): file-backed stdepthmulti data -> TorchVtkReader ->
     policies_fast cv2 aug in the Loader's thread pool -> u8/bf16 host->HBM
@@ -618,6 +619,15 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
     train_t = cast_targets_host(train_t, jnp.bfloat16)
     loader = Loader(train_ds, batch, shuffle=True, transform=train_t,
                     num_workers=workers, seed=0)
+    if shm:
+        # VERDICT r3 task #5: the whole producer in its own OS process,
+        # ready batches over a shared-memory ring (data/shm_loader.py) —
+        # the TPU process's core stays with the tunnel client
+        from mono_depth_estimation_tpu.data.shm_loader import ShmLoader
+
+        loader.num_workers = 0
+        loader.prefetch_batches = 0
+        loader = ShmLoader(loader, slots=3, copy=shm_copy)
     n_batches = len(loader)
 
     # ---- host-only throughput (loader + aug + stack, device untouched)
@@ -716,7 +726,8 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
             return bench_fed_train(batch, size, n_images, timed_epochs,
                                    workers, remat=True,
                                    device_aug=device_aug,
-                                   steps_per_dispatch=steps_per_dispatch)
+                                   steps_per_dispatch=steps_per_dispatch,
+                                   shm=shm, shm_copy=shm_copy)
         raise
 
     t0 = time.perf_counter()
@@ -735,6 +746,7 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
         "batch": batch, "n_images": n_images, "workers": workers,
         "steps_per_epoch": n_batches, "remat": remat,
         "steps_per_dispatch": steps_per_dispatch,
+        "shm_producer": shm, "shm_copy": shm_copy,
     }
 
 

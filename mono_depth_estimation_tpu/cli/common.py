@@ -87,6 +87,14 @@ def build_parser(description: str) -> tuple[ArgumentParser, object]:
         "CPUs cannot feed the chip through cv2; val/test transforms stay "
         "PIL-exact. Supported policies: bts, default, laina, my",
     )
+    parser.add_argument(
+        "--shm_loader", action="store_true",
+        help="isolate the train-batch producer (decode + aug + collation) "
+        "in its own OS process, shipping ready batches through a "
+        "shared-memory ring (data/shm_loader.py). The fix for single-core "
+        "hosts where the in-process producer contends with the device "
+        "runtime's threads",
+    )
     parser.add_argument("--dev", action="store_true", help="Fast dev run")
     parser.add_argument("--overfit", action="store_true", help="Overfit 1 batch")
     parser.add_argument("--min_epochs", default=5, type=int)

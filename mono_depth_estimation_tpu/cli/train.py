@@ -117,6 +117,7 @@ def main(argv=None):
         mesh=mesh,
         spatial=getattr(args.globals, "spatial", 1),
         device_aug=getattr(args.globals, "device_aug", False),
+        shm_loader=getattr(args.globals, "shm_loader", False),
     )
     trainer.logger.log_hparams(
         {

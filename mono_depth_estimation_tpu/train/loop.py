@@ -67,6 +67,7 @@ class Trainer:
         save_visualizations: bool = False,
         spatial: int = 1,
         device_aug: bool = False,
+        shm_loader: bool = False,
     ):
         self.method = method
         self.metric_names = [m for m in metrics if m != "ssim"] + (
@@ -95,6 +96,11 @@ class Trainer:
         # per 512^2 sample — bench_extra.json fed_train); val/test keep
         # their PIL-exact transforms either way.
         self.device_aug = device_aug
+        # --shm_loader: the whole train-batch producer runs in a separate
+        # OS process, batches arrive through a shared-memory ring
+        # (data/shm_loader.py) — keeps the single host core with the
+        # device runtime's threads (BASELINE.md fed-training wall)
+        self.shm_loader = shm_loader
         if device_aug:
             from mono_depth_estimation_tpu.ops.device_aug import (
                 DEVICE_AUG_POLICIES,
@@ -176,6 +182,14 @@ class Trainer:
             if train_ds is not None
             else None
         )
+        if train_loader is not None and self.shm_loader:
+            from mono_depth_estimation_tpu.data.shm_loader import ShmLoader
+
+            # in-child workers would just contend with the producer on a
+            # single-core host; the producer process IS the parallelism
+            train_loader.num_workers = 0
+            train_loader.prefetch_batches = 0
+            train_loader = ShmLoader(train_loader, slots=3, copy=True)
         val_loader = (
             Loader(val_ds, self.eval_batch_size, shuffle=False, transform=val_t,
                    num_workers=self.worker, seed=self.seed)
