@@ -66,6 +66,44 @@ def steady_ms(fn, variables, in_shape, batch):
     }
 
 
+def steady_ms_multi(fn, variables, in_shapes, batch):
+    """steady_ms for stages with SEVERAL inputs (decoder-only stages fed by
+    fixed encoder taps): one base per shape, same per-step scalar added to
+    each (fresh inputs, O(1) harness cost), slope-timed."""
+
+    def make_run(n):
+        def run(variables, bases, key):
+            def body(carry, k):
+                c = jax.random.uniform(k, (), jnp.bfloat16)
+                out = fn(variables, *[b + c for b in bases])
+                tot = sum(
+                    o.astype(jnp.float32).sum()
+                    for o in jax.tree_util.tree_leaves(out)
+                )
+                return carry + tot, None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0), jax.random.split(key, n)
+            )
+            return total
+
+        return run
+
+    bases = tuple(
+        jax.random.uniform(jax.random.PRNGKey(i), (batch, *s), jnp.bfloat16)
+        for i, s in enumerate(in_shapes)
+    )
+    dt, compiled, _ = bench._slope_time(make_run, (variables, bases))
+    roof = bench._roofline_from_cost(compiled, dt, n_iters=1)
+    return {
+        "ms_per_batch": round(dt * 1e3, 3),
+        "images_per_sec": round(batch / dt, 1),
+        "mfu": round(roof["mfu"], 4),
+        "bw_util": round(roof["bw_util"], 4),
+        "bytes_gb": round(roof["bytes_gb"], 3),
+    }
+
+
 def profile_eigen(batch=32):
     from mono_depth_estimation_tpu.models.eigen import (
         Eigen,
@@ -281,16 +319,166 @@ def profile_vnl(batch=16):
     out["fullres_tail"] = steady_ms(
         lambda v, x: tail.apply(v, x, train=False), tail_vars, half, batch
     )
+
+    # ASPP alone (res5 -> 5-branch dilated pyramid, VNL.py:260-285) and the
+    # COMPLETE post-encoder decoder (ASPP + FTB laterals + 4 FCN topdown +
+    # fcn_last_block + 150-bin head, VNL.py:539-669) on fixed taps — so
+    # full = encoder_to_tap4 + decoder_only and every stage is attributed
+    # (VERDICT r3 task #4). Fresh-init params: conv timing is
+    # weight-value-independent.
+    from mono_depth_estimation_tpu.models.common import BatchNorm
+    from mono_depth_estimation_tpu.models.vnl import (
+        ASPPBlock,
+        FCNTopdownBlock,
+    )
+
+    res5 = (25, 25, 2048)  # 385/16, dilated layer4 (stride-16 body)
+    aspp = ASPPBlock(512, (2, 4, 6))
+    aspp_vars = bench._bf16_params(
+        jax.jit(lambda r, x: aspp.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.ones((1, *res5))
+        )
+    )
+    out["aspp_only"] = steady_ms(
+        lambda v, x: aspp.apply(v, x, train=False), aspp_vars, res5, batch
+    )
+
+    class Decoder(nn.Module):
+        @nn.compact
+        def __call__(self, res2, res3, res4, res5, train=False):
+            top = ASPPBlock(512, (2, 4, 6))(res5, train=train)
+            laterals = [top]
+            for dim, tap in zip((512, 256, 256, 256),
+                                (res5, res4, res3, res2)):
+                laterals.append(FTBBlock(dim)(tap, train=train))
+            t = Conv(512, kernel=1)(laterals[0])
+            t = BatchNorm(epsilon=0.5)(t, train=train)
+            for i in range(4):
+                t = FCNTopdownBlock(256)(laterals[i + 1], t, train=train)
+            t = resize_bilinear(t, (193, 193), align_corners=True)
+            t = FTBBlock(256)(t, train=train)
+            t = resize_bilinear(t, size, align_corners=True)
+            logit = Conv(150, kernel=3, dilation=2, use_bias=True)(t)
+            return logit, jax.nn.softmax(logit, axis=-1)
+
+    dec = Decoder()
+    tap_shapes = [(97, 97, 256), (49, 49, 512), (25, 25, 1024), res5]
+    dec_vars = bench._bf16_params(
+        jax.jit(lambda r, *xs: dec.init(r, *xs, train=False))(
+            jax.random.PRNGKey(0),
+            *[jnp.ones((1, *s)) for s in tap_shapes],
+        )
+    )
+    out["decoder_only"] = steady_ms_multi(
+        lambda v, *xs: dec.apply(v, *xs, train=False), dec_vars, tap_shapes,
+        batch,
+    )
+    return out
+
+
+def profile_midas(batch=16):
+    """MiDaS (222.9 img/s at 24.8% MFU / 80% BW — bandwidth-bound but never
+    stage-attributed; VERDICT r3 task #4): ResNeXt101-WSL backbone vs the
+    scratch projections + 4 FeatureFusionBlocks + head
+    (/root/reference/network/MiDaS.py:114-229)."""
+    from flax import linen as nn_  # local alias; nn imported below
+
+    from mono_depth_estimation_tpu.models.encoders.resnet import (
+        RESNET_PRESETS,
+        ResNetEncoder,
+    )
+    from mono_depth_estimation_tpu.models.midas import (
+        FeatureFusionBlock,
+        MidasNet,
+    )
+    from mono_depth_estimation_tpu.models.common import Conv as MConv
+    from mono_depth_estimation_tpu.ops.resize import resize_bilinear
+
+    size = (384, 384)
+    model = MidasNet()
+    init = jax.jit(lambda r, x: model.init(r, x, train=False))
+    variables = bench._bf16_params(
+        init(jax.random.PRNGKey(0), jnp.ones((1, *size, 3)))
+    )
+    out = {}
+    out["full"] = steady_ms(
+        lambda v, x: model.apply(v, x, train=False), variables, (*size, 3),
+        batch,
+    )
+
+    enc = ResNetEncoder(config=RESNET_PRESETS["resnext101_wsl"])
+    enc_vars = {"params": variables["params"]["ResNetEncoder_0"]}
+    if "batch_stats" in variables:
+        enc_vars["batch_stats"] = variables["batch_stats"]["ResNetEncoder_0"]
+    n_taps = len(enc.apply(
+        enc_vars, jnp.ones((1, *size, 3), jnp.bfloat16), train=False
+    ))
+    for i in range(n_taps):
+        out[f"encoder_to_tap{i}"] = steady_ms(
+            lambda v, x, i=i: enc.apply(v, x, train=False)[i],
+            enc_vars, (*size, 3), batch,
+        )
+
+    # decoder on fixed taps: scratch 3x3 projections + 4 fusions + head
+    # (full = encoder_to_tap4 + decoder_only); plus the fusion path and the
+    # full-res head alone, so the decoder splits into its two halves
+    class Decoder(nn_.Module):
+        @nn_.compact
+        def __call__(self, l1, l2, l3, l4):
+            rn = [MConv(256, kernel=3)(t) for t in (l1, l2, l3, l4)]
+            path = FeatureFusionBlock(256)(rn[3])
+            path = FeatureFusionBlock(256)(path, rn[2])
+            path = FeatureFusionBlock(256)(path, rn[1])
+            path = FeatureFusionBlock(256)(path, rn[0])
+            h = MConv(128, kernel=3, use_bias=True)(path)
+            h = resize_bilinear(h, size, align_corners=False)
+            h = MConv(32, kernel=3, use_bias=True)(h)
+            h = nn_.relu(h)
+            h = MConv(7, kernel=1, use_bias=True)(h)
+            return nn_.sigmoid(h)
+
+    tap_shapes = [(96, 96, 256), (48, 48, 512), (24, 24, 1024),
+                  (12, 12, 2048)]
+    dec = Decoder()
+    dec_vars = bench._bf16_params(
+        jax.jit(lambda r, *xs: dec.init(r, *xs))(
+            jax.random.PRNGKey(0), *[jnp.ones((1, *s)) for s in tap_shapes]
+        )
+    )
+    out["decoder_only"] = steady_ms_multi(
+        lambda v, *xs: dec.apply(v, *xs), dec_vars, tap_shapes, batch
+    )
+
+    class Head(nn_.Module):
+        @nn_.compact
+        def __call__(self, path):
+            h = MConv(128, kernel=3, use_bias=True)(path)
+            h = resize_bilinear(h, size, align_corners=False)
+            h = MConv(32, kernel=3, use_bias=True)(h)
+            h = nn_.relu(h)
+            h = MConv(7, kernel=1, use_bias=True)(h)
+            return nn_.sigmoid(h)
+
+    head = Head()
+    head_in = (192, 192, 256)
+    head_vars = bench._bf16_params(
+        jax.jit(lambda r, x: head.init(r, x))(
+            jax.random.PRNGKey(0), jnp.ones((1, *head_in))
+        )
+    )
+    out["head_only"] = steady_ms(
+        lambda v, x: head.apply(v, x), head_vars, head_in, batch
+    )
     return out
 
 
 def main():
-    which = sys.argv[1:] or ["eigen", "fcrn", "mynet", "vnl"]
+    which = sys.argv[1:] or ["eigen", "fcrn", "mynet", "vnl", "midas"]
     res = {}
     for name in which:
         fn = {"eigen": profile_eigen,
               "fcrn": profile_fcrn, "mynet": profile_mynet,
-              "vnl": profile_vnl}[name]
+              "vnl": profile_vnl, "midas": profile_midas}[name]
         try:
             res[name] = fn()
         except Exception as e:
