@@ -24,4 +24,17 @@ if only in (None, "device", "fused"):
     )
     print(json.dumps(extra["fed_train_device_aug_fused4"], indent=1),
           flush=True)
+if only in (None, "shm"):
+    # VERDICT r3 task #5: producer isolated in its own OS process
+    # (data/shm_loader.py) — both with the host cv2 aug (where producer CPU
+    # dominates) and with --device_aug (where the raw-collate producer is
+    # light but still contended)
+    extra["fed_train_shm"] = bench.bench_fed_train(shm=True)
+    print(json.dumps(extra["fed_train_shm"], indent=1), flush=True)
+if only in (None, "shm"):
+    extra["fed_train_shm_device_aug"] = bench.bench_fed_train(
+        shm=True, device_aug=True
+    )
+    print(json.dumps(extra["fed_train_shm_device_aug"], indent=1),
+          flush=True)
 bench.EXTRA_FILE.write_text(json.dumps(extra))
