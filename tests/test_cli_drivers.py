@@ -25,7 +25,7 @@ DATA = ["synthetic", "--n_images", "4", "--image_size", "120", "160"]
 METHOD = ["eigen", "--batch_size", "4", "--pretrained", "0"]
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cli_train_infer_batchtest_roundtrip(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
 

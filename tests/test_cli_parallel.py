@@ -53,7 +53,7 @@ def test_cli_pipeline_stages_parity(tmp_path, monkeypatch):
         )
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cli_spatial_parity(tmp_path, monkeypatch):
     """--spatial 4: Eigen eval with the 240-row image H axis sharded over
     4 devices (GSPMD halo exchanges) == the batch-sharded run."""

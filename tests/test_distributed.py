@@ -58,7 +58,7 @@ def _run_retry(nprocs: int, tmp_path, attempts: int = 2) -> dict:
     raise RuntimeError("unreachable")
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_two_process_train_step_matches_single_process(tmp_path):
     ref = _run_retry(1, tmp_path)
     dist = _run_retry(2, tmp_path)

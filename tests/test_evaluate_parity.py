@@ -59,7 +59,7 @@ def _stub_reference_imports():
         sys.path.insert(0, "/root/reference")
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_bts_evaluate_metric_parity(tmp_path):
     """FLAGSHIP end-to-end certificate (VERDICT r3 missing #3): the shipped
     BTS config (DenseNet-161, out_channels=10, image_residuals=True — the
@@ -173,7 +173,7 @@ def test_bts_evaluate_metric_parity(tmp_path):
         )
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_dorn_evaluate_metric_parity(tmp_path):
     _stub_reference_imports()
     import metrics as ref_metrics  # /root/reference/metrics.py

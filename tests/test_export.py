@@ -96,7 +96,7 @@ def test_predict_fn_returns_only_serving_outputs():
     assert set(out) == {"y_hat"}  # loss/pairs dropped -> DCE'd when lowered
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_export_cli_selftest_and_standalone_predict(tmp_path, monkeypatch,
                                                     capsys):
     """Full lifecycle: train a ckpt -> export (restore + selftest) ->

@@ -48,7 +48,7 @@ def test_collectives_under_shard_map():
     assert float(m[0]) == 3.5
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_dryrun_multichip_full_train_step():
     """The driver contract: full sharded BTS train step on 8 devices."""
     import __graft_entry__ as g
@@ -56,7 +56,7 @@ def test_dryrun_multichip_full_train_step():
     g.dryrun_multichip(len(jax.devices()))
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_1_vs_8_device_train_and_eval_equivalence():
     """Same global batch, same seed: the 8-device DP-sharded train step must
     reproduce the single-device result (loss + updated params), and the

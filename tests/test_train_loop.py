@@ -57,7 +57,7 @@ class _StdepthStyleDataset(SyntheticDepthDataset):
         return rgb, gt
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_fit_fast_dev_run(tmp_path):
     import json
 
