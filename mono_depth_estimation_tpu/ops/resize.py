@@ -67,16 +67,28 @@ def _resize_align_corners(
 ) -> jax.Array:
     """torch F.interpolate(..., align_corners=True) semantics.
 
-    Two implementations, same float math (gather products were f32-promoted;
-    the matmuls accumulate f32), dispatched by backend:
+    Three implementations, same float math (gather products were
+    f32-promoted; the matmuls accumulate f32; the stencil's 0.5 scalings are
+    exact), dispatched by backend and geometry:
 
-    * TPU: two small matmuls (separable interpolation, ``M_h @ x`` then
-      ``x @ M_w^T``) riding the MXU instead of materializing 4 output-sized
-      corner tensors in HBM — the DORN headline's 33x45 -> 257x353 x136ch
-      tail drops 14.9 -> 0.95 ms (kernel_bench.json), eval 352 -> 481 img/s.
+    * TPU, out = 2*in - 1 on both axes (the VNL topdown pyramid
+      13->25->49->97->193->385, every stage): align-corners scale is then
+      EXACTLY (in-1)/(out-1) = 0.5, so even outputs copy inputs and odd
+      outputs are midpoints — a 2-tap stencil (stack + reshape interleave,
+      one add per output) instead of a dense matmul that does ~in/2 x the
+      FLOPs. Bit-equal to the gather form in f32: a*0.5 and b*0.5 are exact
+      (power-of-two scale), and a*0.5 + b*0.5 rounds once like
+      (a+b)*0.5. Measured on the VNL tail (193->385 x256ch @ b16):
+      14.6 -> 1.6 ms (profile_zoo.json resize193to385_only vs _stencil).
+    * TPU otherwise: two small matmuls (separable interpolation,
+      ``M_h @ x`` then ``x @ M_w^T``) riding the MXU instead of
+      materializing 4 output-sized corner tensors in HBM — the DORN
+      headline's 33x45 -> 257x353 x136ch tail drops 14.9 -> 0.95 ms
+      (kernel_bench.json), eval 352 -> 481 img/s.
     * CPU (tests, tooling): the 4-corner gather — dense interpolation
       matrices are ~in_dim x more FLOPs than the 4 gathers, a bad trade off
-      the MXU. ``force`` ('matmul'/'gather') pins the form for tests.
+      the MXU. ``force`` ('matmul'/'gather'/'stencil') pins a form for
+      tests.
 
     The choice is made per LOWERING platform (lax.platform_dependent), not
     per trace-time backend, so a multi-platform jax.export artifact gets the
@@ -98,13 +110,51 @@ def _resize_align_corners(
                          precision=jax.lax.Precision.HIGHEST)
         return out.astype(x.dtype)
 
+    stencil_ok = out_h == 2 * in_h - 1 and out_w == 2 * in_w - 1
+
+    def _tpu(x):
+        return _stencil_up2m1(x) if stencil_ok else _matmul(x)
+
     if force is None:
         return jax.lax.platform_dependent(
-            x, cpu=lambda x: _gather_align_corners(x, size), default=_matmul
+            x, cpu=lambda x: _gather_align_corners(x, size), default=_tpu
         )
     if force == "matmul":
         return _matmul(x)
+    if force == "stencil":
+        assert stencil_ok, (x.shape, size)
+        return _stencil_up2m1(x)
     return _gather_align_corners(x, size)
+
+
+def _stencil_up2m1(x: jax.Array) -> jax.Array:
+    """Align-corners bilinear upsample to (2H-1, 2W-1): exact-copy even
+    outputs interleaved with midpoint odd outputs (see _resize_align_corners
+    docstring for the equivalence argument). f32 math, cast back."""
+    xf = x.astype(jnp.float32)
+
+    def up_h(a):
+        head, tail = a[..., :-1, :, :], a[..., 1:, :, :]
+        mid = (head + tail) * 0.5
+        pairs = jnp.stack([head, mid], axis=-3)  # (..., H-1, 2, W, C)
+        merged = pairs.reshape(
+            *a.shape[:-3], 2 * (a.shape[-3] - 1), a.shape[-2], a.shape[-1]
+        )
+        return jnp.concatenate([merged, a[..., -1:, :, :]], axis=-3)
+
+    def up_w(a):
+        head, tail = a[..., :, :-1, :], a[..., :, 1:, :]
+        mid = (head + tail) * 0.5
+        pairs = jnp.stack([head, mid], axis=-2)  # (..., H, W-1, 2, C)
+        merged = pairs.reshape(
+            *a.shape[:-3], a.shape[-3], 2 * (a.shape[-2] - 1), a.shape[-1]
+        )
+        return jnp.concatenate([merged, a[..., :, -1:, :]], axis=-2)
+
+    # W first, then H — the gather form's lerp order (horizontal within the
+    # row pair, then vertical): keeps the odd-odd midpoints bit-equal
+    # (H-first differs by 1 ulp through the non-associative adds)
+    return up_h(up_w(xf)).astype(x.dtype)
 
 
 def _gather_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.Array:

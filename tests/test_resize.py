@@ -47,3 +47,32 @@ def test_align_corners_preserves_dtype():
     out = resize_bilinear(x, (9, 9), align_corners=True)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)
+
+
+@pytest.mark.parametrize(
+    "in_hw",
+    [(193, 193), (13, 25), (7, 9), (2, 2), (1, 5), (97, 97)],
+)
+def test_align_corners_stencil_2nm1(in_hw):
+    """The out = 2*in - 1 stencil fast path (every VNL topdown upsample):
+    bit-EQUAL to the gather form in f32 (scale is exactly 0.5 — see
+    ops/resize._resize_align_corners) and matches torch."""
+    from mono_depth_estimation_tpu.ops.resize import _resize_align_corners
+
+    out_hw = (2 * in_hw[0] - 1, 2 * in_hw[1] - 1)
+    rng = np.random.default_rng(sum(in_hw))
+    x = rng.normal(size=(2, *in_hw, 3)).astype(np.float32)
+
+    stencil = np.asarray(
+        _resize_align_corners(jnp.asarray(x), out_hw, force="stencil")
+    )
+    gather = np.asarray(
+        _resize_align_corners(jnp.asarray(x), out_hw, force="gather")
+    )
+    np.testing.assert_array_equal(stencil, gather)
+
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.interpolate(t, size=out_hw, mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(
+        stencil, ref.permute(0, 2, 3, 1).numpy(), atol=1e-6, rtol=1e-6
+    )

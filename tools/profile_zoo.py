@@ -373,6 +373,34 @@ def profile_vnl(batch=16):
         lambda v, *xs: dec.apply(v, *xs, train=False), dec_vars, tap_shapes,
         batch,
     )
+
+    # the tail's three ops separately, so its 44%-MFU mix is attributed:
+    # dilated 3x3 256->150 head + softmax at full 385 res, the FTB at 193,
+    # and the bare align-corners resize 193->385
+    head = Conv(150, kernel=3, dilation=2, use_bias=True)
+    head_vars = bench._bf16_params(
+        jax.jit(lambda r, x: head.init(r, x))(
+            jax.random.PRNGKey(0), jnp.ones((1, 385, 385, 256))
+        )
+    )
+    out["head_conv_softmax_only"] = steady_ms(
+        lambda v, x: jax.nn.softmax(head.apply(v, x), axis=-1), head_vars,
+        (385, 385, 256), batch,
+    )
+    ftb = FTBBlock(256)
+    ftb_vars = bench._bf16_params(
+        jax.jit(lambda r, x: ftb.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.ones((1, 193, 193, 256))
+        )
+    )
+    out["ftb193_only"] = steady_ms(
+        lambda v, x: ftb.apply(v, x, train=False), ftb_vars,
+        (193, 193, 256), batch,
+    )
+    out["resize193to385_only"] = steady_ms(
+        lambda v, x: resize_bilinear(x, size, align_corners=True), {},
+        (193, 193, 256), batch,
+    )
     return out
 
 
