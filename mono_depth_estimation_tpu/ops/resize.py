@@ -45,21 +45,46 @@ def resize_bilinear(
     return out[0] if squeeze else out
 
 
-def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
+def _interp_matrix_np(n_in: int, n_out: int):
     """(n_out, n_in) align-corners bilinear interpolation matrix: two
-    nonzeros per row, ``M[i, y0]=1-w`` and ``M[i, y1]=w``. All inputs are
-    compile-time constants, so XLA folds the matrix into the program."""
+    nonzeros per row, ``M[i, y0]=1-w`` and ``M[i, y1]=w``. Computed in
+    numpy (sizes are compile-time constants) so callers can inspect the
+    CONCRETE weights — the bf16-exactness fast path below needs that —
+    and XLA still folds the constant into the program."""
+    import numpy as np
+
     if n_out == 1 or n_in == 1:
         # out coord (or the only in coord) is 0: every row reads input 0
-        return jnp.zeros((n_out, n_in), jnp.float32).at[:, 0].set(1.0)
-    yy = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, n_in - 1)
-    y1 = jnp.clip(y0 + 1, 0, n_in - 1)
-    w = yy - y0.astype(jnp.float32)
+        m = np.zeros((n_out, n_in), np.float32)
+        m[:, 0] = 1.0
+        return m
+    yy = np.arange(n_out, dtype=np.float32) * np.float32(
+        (n_in - 1) / (n_out - 1)
+    )
+    y0 = np.clip(np.floor(yy).astype(np.int32), 0, n_in - 1)
+    y1 = np.clip(y0 + 1, 0, n_in - 1)
+    w = (yy - y0.astype(np.float32))[:, None]
+    m = np.zeros((n_out, n_in), np.float32)
     # y0 == y1 on exact-hit rows: (1-w)+w collapses to a single 1 there.
-    return jax.nn.one_hot(y0, n_in) * (1.0 - w)[:, None] + jax.nn.one_hot(
-        y1, n_in
-    ) * w[:, None]
+    np.put_along_axis(m, y0[:, None], 1.0 - w, axis=1)
+    m[np.arange(n_out), y1] += w[:, 0]
+    return m
+
+
+def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
+    return jnp.asarray(_interp_matrix_np(n_in, n_out))
+
+
+def _bf16_exact(m) -> bool:
+    """True iff every interpolation weight survives the bf16 round trip —
+    e.g. any out = 2*in - 1 stage (weights {0, 0.5, 1}) or DORN's
+    33x45 -> 257x353 (scale exactly 1/8: weights k/8)."""
+    import ml_dtypes
+    import numpy as np
+
+    return bool(
+        (m == m.astype(ml_dtypes.bfloat16).astype(np.float32)).all()
+    )
 
 
 def _resize_align_corners(
@@ -71,16 +96,7 @@ def _resize_align_corners(
     f32-promoted; the matmuls accumulate f32; the stencil's 0.5 scalings are
     exact), dispatched by backend and geometry:
 
-    * TPU, out = 2*in - 1 on both axes (the VNL topdown pyramid
-      13->25->49->97->193->385, every stage): align-corners scale is then
-      EXACTLY (in-1)/(out-1) = 0.5, so even outputs copy inputs and odd
-      outputs are midpoints — a 2-tap stencil (stack + reshape interleave,
-      one add per output) instead of a dense matmul that does ~in/2 x the
-      FLOPs. Bit-equal to the gather form in f32: a*0.5 and b*0.5 are exact
-      (power-of-two scale), and a*0.5 + b*0.5 rounds once like
-      (a+b)*0.5. Measured on the VNL tail (193->385 x256ch @ b16):
-      14.6 -> 1.6 ms (profile_zoo.json resize193to385_only vs _stencil).
-    * TPU otherwise: two small matmuls (separable interpolation,
+    * TPU: two small matmuls (separable interpolation,
       ``M_h @ x`` then ``x @ M_w^T``) riding the MXU instead of
       materializing 4 output-sized corner tensors in HBM — the DORN
       headline's 33x45 -> 257x353 x136ch tail drops 14.9 -> 0.95 ms
@@ -101,8 +117,28 @@ def _resize_align_corners(
     out_h, out_w = size
 
     def _matmul(x):
-        mh = _interp_matrix(in_h, out_h)
-        mw = _interp_matrix(in_w, out_w)
+        mh_np = _interp_matrix_np(in_h, out_h)
+        mw_np = _interp_matrix_np(in_w, out_w)
+        if (x.dtype == jnp.bfloat16 and _bf16_exact(mh_np)
+                and _bf16_exact(mw_np)):
+            # 1-pass bf16 fast path (round 4): when every interpolation
+            # weight is exactly bf16-representable (all the VNL topdown
+            # 2n-1 stages: weights {0,.5,1}; DORN's 1/8-scale headline
+            # upsample: weights k/8) and the activations are already bf16,
+            # each einsum is a plain bf16 MXU matmul with f32 accumulation
+            # — per-pass BIT-EQUAL to the f32 gather on the same bf16
+            # inputs (products of exact-bf16 weights are exact in the f32
+            # accumulator; zeros add exactly). Only new rounding: the
+            # H-pass intermediate rounds to bf16 (<=1 bf16 ulp on
+            # doubly-interpolated points vs the f32-intermediate form).
+            # The HIGHEST f32 path below costs ~6 MXU passes; this is 1:
+            # measured 14.6 -> 3.3 ms on the VNL 193->385 tail
+            # (profile_zoo.json resize193to385_only).
+            y = jnp.einsum("oh,...hwc->...owc",
+                           jnp.asarray(mh_np, jnp.bfloat16), x)
+            return jnp.einsum("pw,...hwc->...hpc",
+                              jnp.asarray(mw_np, jnp.bfloat16), y)
+        mh, mw = jnp.asarray(mh_np), jnp.asarray(mw_np)
         xf = x.astype(jnp.float32)
         y = jnp.einsum("oh,...hwc->...owc", mh, xf,
                        precision=jax.lax.Precision.HIGHEST)
@@ -110,27 +146,32 @@ def _resize_align_corners(
                          precision=jax.lax.Precision.HIGHEST)
         return out.astype(x.dtype)
 
-    stencil_ok = out_h == 2 * in_h - 1 and out_w == 2 * in_w - 1
-
-    def _tpu(x):
-        return _stencil_up2m1(x) if stencil_ok else _matmul(x)
-
     if force is None:
         return jax.lax.platform_dependent(
-            x, cpu=lambda x: _gather_align_corners(x, size), default=_tpu
+            x, cpu=lambda x: _gather_align_corners(x, size), default=_matmul
         )
     if force == "matmul":
         return _matmul(x)
     if force == "stencil":
-        assert stencil_ok, (x.shape, size)
+        assert out_h == 2 * in_h - 1 and out_w == 2 * in_w - 1, (x.shape, size)
         return _stencil_up2m1(x)
     return _gather_align_corners(x, size)
 
 
 def _stencil_up2m1(x: jax.Array) -> jax.Array:
-    """Align-corners bilinear upsample to (2H-1, 2W-1): exact-copy even
-    outputs interleaved with midpoint odd outputs (see _resize_align_corners
-    docstring for the equivalence argument). f32 math, cast back."""
+    """Align-corners bilinear upsample to (2H-1, 2W-1): the scale is then
+    exactly 0.5, so even outputs copy inputs and odd outputs are midpoints —
+    a 2-tap stencil, bit-equal to the gather form in f32 (a*0.5 and b*0.5
+    are exact power-of-two scalings; W-lerp-then-H matches the gather's
+    rounding order; tests/test_resize.py pins equality).
+
+    MEASURED NEGATIVE RESULT on TPU (kept for the record, not dispatched):
+    the 193->385 x256ch VNL tail upsample runs 28.1 ms in this form vs
+    14.6 ms for the dense-matmul form (profile_zoo.json, round 4) — the
+    (W-1, 2, C) -> (2W-2, C) reshape is a lane-dimension interleave, the
+    same shuffle whose removal from the DORN ordinal head was worth +18%
+    (models/dorn.py). XLA's MXU matmul beats ~96x fewer FLOPs spent in the
+    VPU's relayout path. f32 math, cast back."""
     xf = x.astype(jnp.float32)
 
     def up_h(a):

@@ -49,6 +49,37 @@ def test_align_corners_preserves_dtype():
     np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((13, 25), (25, 49)),    # VNL topdown stage (weights {0, .5, 1})
+    ((33, 45), (257, 353)),  # DORN headline (scale exactly 1/8)
+])
+def test_align_corners_bf16_fast_path(in_hw, out_hw):
+    """bf16 inputs + bf16-exact weights take the 1-pass bf16 matmul: within
+    1 bf16 ulp of the f32-math gather on the same bf16 inputs (the H-pass
+    intermediate rounds once; see ops/resize.py)."""
+    from mono_depth_estimation_tpu.ops.resize import (
+        _bf16_exact,
+        _interp_matrix_np,
+        _resize_align_corners,
+    )
+
+    assert _bf16_exact(_interp_matrix_np(in_hw[0], out_hw[0]))
+    assert _bf16_exact(_interp_matrix_np(in_hw[1], out_hw[1]))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.normal(size=(2, *in_hw, 3)).astype(np.float32), jnp.bfloat16
+    )
+    fast = _resize_align_corners(x, out_hw, force="matmul")
+    ref = _resize_align_corners(x, out_hw, force="gather")
+    assert fast.dtype == jnp.bfloat16
+    # error bound: one bf16 ulp of the H-pass intermediate (magnitude ~ the
+    # input scale, here unit) + one final-rounding ulp
+    np.testing.assert_allclose(
+        np.asarray(fast, np.float32), np.asarray(ref, np.float32),
+        rtol=2 ** -7, atol=2 ** -6,
+    )
+
+
 @pytest.mark.parametrize(
     "in_hw",
     [(193, 193), (13, 25), (7, 9), (2, 2), (1, 5), (97, 97)],
