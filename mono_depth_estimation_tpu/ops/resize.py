@@ -132,8 +132,9 @@ def _resize_align_corners(
             # H-pass intermediate rounds to bf16 (<=1 bf16 ulp on
             # doubly-interpolated points vs the f32-intermediate form).
             # The HIGHEST f32 path below costs ~6 MXU passes; this is 1:
-            # measured 14.6 -> 3.3 ms on the VNL 193->385 tail
-            # (profile_zoo.json resize193to385_only).
+            # measured 14.6 -> 4.2 ms on the VNL 193->385 tail, full VNL
+            # 78.0 -> 67.7 ms / 205 -> 236 img/s (+15%)
+            # (profile_zoo.json resize193to385_only, round 4).
             y = jnp.einsum("oh,...hwc->...owc",
                            jnp.asarray(mh_np, jnp.bfloat16), x)
             return jnp.einsum("pw,...hwc->...hpc",
