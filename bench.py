@@ -622,11 +622,12 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
     if shm:
         # VERDICT r3 task #5: the whole producer in its own OS process,
         # ready batches over a shared-memory ring (data/shm_loader.py) —
-        # the TPU process's core stays with the tunnel client
+        # the TPU process's core stays with the tunnel client. The child
+        # KEEPS the loader's internal worker/prefetch pipeline (zeroing it
+        # measured 2-4x slower: the child then produces synchronously and
+        # decode no longer overlaps the shm writes).
         from mono_depth_estimation_tpu.data.shm_loader import ShmLoader
 
-        loader.num_workers = 0
-        loader.prefetch_batches = 0
         loader = ShmLoader(loader, slots=3, copy=shm_copy)
     n_batches = len(loader)
 

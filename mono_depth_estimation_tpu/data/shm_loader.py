@@ -237,6 +237,11 @@ class ShmLoader:
             if child.is_alive():
                 child.terminate()
                 child.join(timeout=2)
+            # drop our views BEFORE closing: mmap.close() refuses while
+            # exported buffer pointers exist (copy=False callers may still
+            # hold views — then close fails harmlessly and unlink below
+            # still releases the memory at last unmap)
+            views_per_slot.clear()
             for shm in shms:
                 try:
                     shm.close()

@@ -185,10 +185,8 @@ class Trainer:
         if train_loader is not None and self.shm_loader:
             from mono_depth_estimation_tpu.data.shm_loader import ShmLoader
 
-            # in-child workers would just contend with the producer on a
-            # single-core host; the producer process IS the parallelism
-            train_loader.num_workers = 0
-            train_loader.prefetch_batches = 0
+            # the child keeps the loader's own worker/prefetch pipeline —
+            # stripping it measured 2-4x slower (bench_fed_train shm)
             train_loader = ShmLoader(train_loader, slots=3, copy=True)
         val_loader = (
             Loader(val_ds, self.eval_batch_size, shuffle=False, transform=val_t,
