@@ -731,13 +731,26 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
                                    shm=shm, shm_copy=shm_copy)
         raise
 
+    import resource
+
+    ru0s = resource.getrusage(resource.RUSAGE_SELF)
+    ru0c = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.perf_counter()
     n_done = 0
     for _ in range(timed_epochs):
         state, rng, loss = run_epoch(state, rng)
         n_done += batch * len(loader)
     jax.block_until_ready(loss)
-    fed_ips = n_done / (time.perf_counter() - t0)
+    wall = time.perf_counter() - t0
+    fed_ips = n_done / wall
+    ru1s = resource.getrusage(resource.RUSAGE_SELF)
+    ru1c = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # per-process CPU accounting over the timed window (VERDICT r3 task #5
+    # "measured proof"): on this 1-core host, cpu_total ~ wall means the
+    # core never idles — the pipeline is CPU-serialized, not stalled, and
+    # no producer-placement scheme can beat 1/(total CPU per image)
+    cpu_self = (ru1s.ru_utime - ru0s.ru_utime) + (ru1s.ru_stime - ru0s.ru_stime)
+    cpu_child = (ru1c.ru_utime - ru0c.ru_utime) + (ru1c.ru_stime - ru0c.ru_stime)
 
     return {
         "fed_images_per_sec": round(float(fed_ips), 2),
@@ -748,6 +761,10 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
         "steps_per_epoch": n_batches, "remat": remat,
         "steps_per_dispatch": steps_per_dispatch,
         "shm_producer": shm, "shm_copy": shm_copy,
+        "wall_s": round(wall, 1),
+        "cpu_self_s": round(cpu_self, 1),
+        "cpu_children_s": round(cpu_child, 1),
+        "cpu_over_wall": round((cpu_self + cpu_child) / wall, 3),
     }
 
 
