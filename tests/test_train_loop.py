@@ -176,6 +176,36 @@ def test_fit_device_aug_end_to_end(tmp_path):
     assert trainer.model.output_size == (64, 96)
 
 
+@pytest.mark.slow
+def test_fit_shm_loader_end_to_end(tmp_path):
+    """--shm_loader: the train producer runs in its own OS process
+    (data/shm_loader.py) and a fast-dev-run fit (train + val + checkpoint)
+    completes with the producer isolated."""
+    from mono_depth_estimation_tpu.data.shm_loader import ShmLoader
+    from mono_depth_estimation_tpu.utils.logging import RunLogger
+
+    method = _make_method()
+    train_ds = _StdepthStyleDataset(split="train", n_images=8,
+                                    image_size=(64, 96))
+    val_ds = _StdepthStyleDataset(split="val", n_images=2,
+                                  image_size=(64, 96))
+    trainer = Trainer(
+        method,
+        metrics=["mae"],
+        fast_dev_run=True,
+        precision=16,
+        shm_loader=True,
+        run_name="shm_run",
+        checkpoint_root=str(tmp_path / "ckpts"),
+        worker=0,
+        logger=RunLogger(tmp_path, use_wandb=False),
+    )
+    train_loader, _, _ = trainer._loaders(train_ds, val_ds, None)
+    assert isinstance(train_loader, ShmLoader)
+    state = trainer.fit(train_ds, val_ds)
+    assert int(state.step) == 1
+
+
 def test_device_aug_rejects_unsupported_policy():
     method = _make_method()
     method.POLICY = "dorn"
