@@ -138,7 +138,7 @@ def test_fit_bf16_precision_compresses_targets(tmp_path):
     assert np.isfinite(float(extras["val_loss"]))
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_fit_device_aug_end_to_end(tmp_path):
     """--device_aug: loaders ship RAW samples (u8 rgb at source size, f32
     gt), the jitted step augments on-chip (ops/device_aug.py), the model
@@ -290,7 +290,7 @@ def test_log_artifact_jsonl(tmp_path):
     assert rec["kind"] == "model" and rec["epoch"] == 3.0
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_lr_find_sweeps_fresh_batches(tmp_path):
     """The Lightning-style LR finder: fresh batch per step, EMA smoothing,
     divergence stop, gradient suggestion inside the swept range."""
