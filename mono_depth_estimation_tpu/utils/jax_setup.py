@@ -70,7 +70,13 @@ def _may_compile_for_cpu() -> bool:
     non-cpu platforms (e.g. the preset ``JAX_PLATFORMS=axon`` TPU tunnel).
     TPU executables are compiled FOR the device and are machine-portable, so
     they keep the shared cache dir (warm across rounds/machines); anything
-    that might lower for the host CPU gets the per-machine subdir."""
+    that might lower for the host CPU gets the per-machine subdir.
+
+    Round-4 observation: the axon tunnel backend never actually WRITES
+    local cache entries (the relay compiles remotely and keeps its own
+    server-side cache — measured 17m50s cold vs 5m34s warm across
+    processes with an empty local dir), so for axon this scoping is
+    currently moot; it still matters for any real local TPU runtime."""
     plats = None
     try:
         plats = jax.config.jax_platforms
