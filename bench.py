@@ -216,11 +216,19 @@ def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict
     return out
 
 
-def bench_jax_bts_steady(b: int = 32) -> tuple[float, float]:
+def bench_jax_bts_steady(b: int = 128) -> tuple[float, float]:
     """Flagship BTS-DenseNet-161 512x512 eval, steady state (in-graph scan
-    over distinct random batches). Returns (images/sec, roofline). Batch 32
-    is the measured throughput sweet spot on v5e (163 vs 146 @ 16, 109 @ 8;
-    the model is HBM-bound — see BASELINE.md roofline)."""
+    over distinct random batches). Returns (images/sec, roofline).
+
+    Batch 128 is the round-4 measured throughput optimum: the r1-r3 sweeps
+    stopped at 32 (184 img/s), but throughput KEEPS RISING well past it —
+    184 @ b32, 218 @ b36, 241 @ b40, 258 @ b48, 265/273/282 @ b56/64/80,
+    321 @ b96, **341 @ b128** (30.2% MFU), then noisy (274 @ b160,
+    312 @ b192). The gain is MXU geometry, not bandwidth: the deep
+    16x16-spatial dense layers present M = B*256 rows to the MXU, so
+    bigger batches fill the M tiles (MFU 16.6% -> 30.2%) while bw_util
+    FALLS (0.67 -> 0.47) — the "HBM-bound at b32" reading was an artifact
+    of the too-small batch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
