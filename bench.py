@@ -385,19 +385,27 @@ def bench_zoo(deadline: float | None = None) -> dict:
     from mono_depth_estimation_tpu.models.sharpnet import SharpNet
     from mono_depth_estimation_tpu.models.vnl import MetricDepthModel
 
+    # Batches are the round-4 sweep optima (BASELINE.md "batch-geometry
+    # sweep"): throughput rises far past the r1-r3 reference-style batches
+    # because larger B fills the MXU M-tiles on the deep low-spatial
+    # layers — MiDaS 223.6 @ b16 -> 448.9 @ b128 (+101%), VNL 233.7 ->
+    # 355.0, MyNet 511.5 -> 725.8, BTS 188 -> 341 (bench_jax_bts_steady).
+    # Each model's curve was swept to its peak (the next size up LOSES:
+    # midas 420 @ b192, mynet 576 @ b192, fcrn 2723 @ b192, eigen
+    # 1202 @ b128; vnl b192 exceeds the compiler's resources).
     zoo = {
-        "eigen_240x320": (lambda: Eigen(), (240, 320), 32),
+        "eigen_240x320": (lambda: Eigen(), (240, 320), 64),
         "fcrn50_upproj_240x320": (
             lambda: FCRN(layers=50, decoder="upproj",
                          output_size=(120, 160), out_channels=1),
-            (240, 320), 32),
-        "midas_384x384": (lambda: MidasNet(), (384, 384), 16),
-        "vnl_385x385": (lambda: MetricDepthModel(), (385, 385), 16),
+            (240, 320), 128),
+        "midas_384x384": (lambda: MidasNet(), (384, 384), 128),
+        "vnl_385x385": (lambda: MetricDepthModel(), (385, 385), 128),
         "sharpnet_240x320": (
             lambda: SharpNet(use_depth=True, use_normals=True,
-                             use_boundary=True), (240, 320), 32),
+                             use_boundary=True), (240, 320), 128),
         "mynet_384x384": (lambda: MyModel(input_size=(384, 384)),
-                          (384, 384), 16),
+                          (384, 384), 128),
     }
     out = {}
     for name, (build, size, batch) in zoo.items():
