@@ -4,7 +4,12 @@
 steady-state in-graph-scan harness bench.py uses, so the idle time can be
 attributed to a stage instead of guessed.
 
-Usage:  python tools/profile_zoo.py [eigen fcrn mynet]
+Round 4 added the last two close-outs (VERDICT r3 task #4): vnl (ASPP /
+topdown decoder / full-res 150-bin head + the resize stage whose bf16
+fast path bought +15%) and midas (ResNeXt-101-WSL backbone vs scratch
+projections + 4 fusion blocks + head).
+
+Usage:  python tools/profile_zoo.py [eigen fcrn mynet vnl midas]
 Writes: profile_zoo.json {model: {stage: {ms_per_batch, mfu, bw_util}}}
 """
 
