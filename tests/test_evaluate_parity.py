@@ -174,6 +174,114 @@ def test_bts_evaluate_metric_parity(tmp_path):
 
 
 @pytest.mark.xslow
+def test_eigen_evaluate_metric_parity(tmp_path):
+    """Third evaluate-level certificate (beyond the headline DORN and the
+    flagship BTS): the Eigen 3-scale net with converted weights through
+    both eval pipelines on the same synthetic test samples.
+
+    * reference: vendored vgg19_bn Eigen forward (network/Eigen.py:5-19)
+      -> test_step 480x640 interpolation of y and y_hat
+      (modules/eigen.py:45-53) -> metrics.MetricComputation -> mean over
+      steps (evaluate.py:34-36)
+    * ours: cli/evaluate.py main() with --torch_weights on synthetic
+
+    every metric must agree within 1e-3."""
+    _stub_reference_imports()
+    from vendored_torch_encoders import install_fake_torchvision
+
+    install_fake_torchvision()
+    import metrics as ref_metrics  # /root/reference/metrics.py
+    from network import Eigen as RefEigen
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.models.eigen import Eigen
+    from tools.convert_torch_ckpt import convert_sequential
+
+    tm = RefEigen.Eigen(pretrained=False).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+
+    fm = Eigen()
+    # geometry tied to 240x320 (the scale-1 FC pair; Eigen.py:84-87)
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 3), jnp.float32),
+        train=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sequential(
+        sd, template,
+        dense_chw_hints={0: (512, 7, 10)},
+        dense_out_chw_hints={1: (64, 14, 19)},
+    )
+    wfile = tmp_path / "eigen_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    # ---- ours: the real evaluate CLI
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_eigen",
+        "synthetic", "--n_images", "2", "--test",
+        "eigen", "--torch_weights", str(wfile),
+    ]
+    ours = eval_main(argv)
+
+    # ---- reference: same samples through the reference eval math
+    from mono_depth_estimation_tpu.cli.common import (
+        build_parser,
+        derive_globals,
+        parse_args_into_namespaces,
+    )
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+    from mono_depth_estimation_tpu.methods import get_method
+
+    parser, cmds = build_parser("parity-ref")
+    margs = parse_args_into_namespaces(parser, cmds, argv)
+    derive_globals(margs)
+    method = get_method(margs)
+    _, _, test_t = method.policy_fns()
+    ds = get_synthetic_dataset(
+        Namespace(n_images=2), "test", (240, 320), 250
+    )
+
+    comp = ref_metrics.MetricComputation(METRIC_NAMES)
+    step_values = []
+    with torch.no_grad():
+        for i in range(len(ds)):
+            rgb, depth = ds.get_raw(i)
+            x, y = test_t(rgb, depth, None)
+            xt = torch.from_numpy(
+                np.transpose(x, (2, 0, 1))[None].astype(np.float32)
+            )
+            yt = torch.from_numpy(
+                np.transpose(y, (2, 0, 1))[None].astype(np.float32)
+            )
+            y_hat = tm(xt)
+            # modules/eigen.py:45-53 test protocol
+            yt = torch.nn.functional.interpolate(yt, (480, 640),
+                                                 mode="bilinear")
+            y_hat = torch.nn.functional.interpolate(y_hat, (480, 640),
+                                                    mode="bilinear")
+            step_values.append([float(v) for v in comp.compute(y_hat, yt)])
+    ref = {
+        n: float(np.mean([sv[j] for sv in step_values]))
+        for j, n in enumerate(METRIC_NAMES)
+    }
+
+    for n in METRIC_NAMES:
+        assert abs(ours[n] - ref[n]) <= 1e-3, (
+            n, ours[n], ref[n], {k: (ours[k], ref[k]) for k in METRIC_NAMES}
+        )
+
+
+@pytest.mark.xslow
 def test_dorn_evaluate_metric_parity(tmp_path):
     _stub_reference_imports()
     import metrics as ref_metrics  # /root/reference/metrics.py
