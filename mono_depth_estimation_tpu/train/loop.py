@@ -113,8 +113,13 @@ class Trainer:
                 )
         # metrics are per-sample (masked on host), so a bigger eval batch
         # changes nothing numerically — only amortizes dispatch overhead
-        # (the reference uses batch_size=1, base_module.py:61-78)
-        self.eval_batch_size = eval_batch_size or 8 * self.n_devices
+        # (the reference uses batch_size=1, base_module.py:61-78). Default
+        # raised 8 -> 32 per device in round 4: the batch-geometry sweep
+        # (BASELINE.md) showed eval throughput rising well past b32 on
+        # every model (deep low-spatial stages underfill MXU M-tiles at
+        # small batches); _eval_bs clamps to the dataset size so tiny val
+        # splits don't pay padding compute
+        self.eval_batch_size = eval_batch_size or 32 * self.n_devices
         self.run_name = run_name
         self.ckpt = CheckpointManager(Path(checkpoint_root) / run_name)
         self.logger = logger or RunLogger(Path("runs") / run_name)
@@ -189,18 +194,30 @@ class Trainer:
             # stripping it measured 2-4x slower (bench_fed_train shm)
             train_loader = ShmLoader(train_loader, slots=3, copy=True)
         val_loader = (
-            Loader(val_ds, self.eval_batch_size, shuffle=False, transform=val_t,
-                   num_workers=self.worker, seed=self.seed)
+            Loader(val_ds, self._eval_bs(val_ds), shuffle=False,
+                   transform=val_t, num_workers=self.worker, seed=self.seed)
             if val_ds is not None
             else None
         )
         test_loader = (
-            Loader(test_ds, self.eval_batch_size, shuffle=False, transform=test_t,
-                   num_workers=self.worker, seed=self.seed)
+            Loader(test_ds, self._eval_bs(test_ds), shuffle=False,
+                   transform=test_t, num_workers=self.worker, seed=self.seed)
             if test_ds is not None
             else None
         )
         return train_loader, val_loader, test_loader
+
+    def _eval_bs(self, ds) -> int:
+        """Eval batch clamped to the dataset (rounded up to a multiple of
+        the mesh) so small val/test splits don't pad to the large default;
+        metrics are per-sample masked, so the batch size never changes
+        results."""
+        n = self.n_devices
+        try:
+            rounded = ((len(ds) + n - 1) // n) * n
+        except TypeError:
+            return self.eval_batch_size
+        return max(n, min(self.eval_batch_size, rounded))
 
     def setup(self, sample_batch, restore_ckpt: str | None = None):
         """Initializes model/state and jits the steps. sample_batch is one
