@@ -37,9 +37,21 @@ Protocol
   shuffles stay deterministic and identical to iterating the Loader
   directly (bit-equality is tested in tests/test_shm_loader.py).
 
-Measured effect (bench_extra.json fed_train_shm, BASELINE.md): the
-flagship fed-training loop that recorded 27 img/s with the in-process
-producer reaches ~2x that with the producer isolated.
+Measured effect (bench_extra.json fed_train_shm, BASELINE.md round 4): on
+THIS 1-core host the shm path measured 6.8 img/s (11.7 with --device_aug)
+vs 27 img/s for the in-process producer — the ring's two extra ~96 MB
+copies (child write + parent read) land on the same single core and cost
+more than the isolation saves (BASELINE.md's fed close-out: the loop is
+98.3% CPU-bound either way). The design's win requires a multi-core host,
+where the producer's copy runs on its own core; keep ``--shm_loader`` off
+on single-core machines.
+
+Tunnel caveat (``copy=False`` only): the axon backend's async dispatch
+completion is unreliable (CLAUDE.md), so "step N dispatched before batch
+N+1 is fetched" does NOT guarantee the device has finished READING slot N
+when the ring reuses it. With ``copy=False`` on the tunnel backend, call
+``jax.block_until_ready`` on the device batch before advancing, or use the
+default ``copy=True`` (the Trainer and bench both do).
 """
 
 from __future__ import annotations
@@ -102,9 +114,10 @@ def _produce(loader, meta_q, free_q, n_slots):
     parent's TPU client/atexit state is untouched (data/loader.py fork
     rationale)."""
     shms = []
+    it = iter(loader)
     try:
         layout = None
-        for batch, mask in loader:
+        for batch, mask in it:
             leaves, spec = _flatten(batch)
             if layout is None:
                 layout = [(l.shape, _dtype_tag(l.dtype)) for l in leaves]
@@ -141,6 +154,13 @@ def _produce(loader, meta_q, free_q, n_slots):
         except Exception:
             pass
     finally:
+        # shut the wrapped Loader down cleanly (its generator's finally
+        # stops the producer thread / worker pool) BEFORE os._exit, which
+        # would otherwise orphan them mid-task on the abandoned-epoch path
+        try:
+            it.close()
+        except Exception:
+            pass
         for s in shms:
             try:
                 s.close()
@@ -188,6 +208,7 @@ class ShmLoader:
 
         shms: list[shared_memory.SharedMemory] = []
         views_per_slot: list[list[np.ndarray]] = []
+        views: list[np.ndarray] | None = None
         outstanding: int | None = None
         try:
             tag, names, info = meta_q.get()
@@ -240,11 +261,25 @@ class ShmLoader:
             # drop our views BEFORE closing: mmap.close() refuses while
             # exported buffer pointers exist (copy=False callers may still
             # hold views — then close fails harmlessly and unlink below
-            # still releases the memory at last unmap)
+            # still releases the memory at last unmap). `views` is the
+            # setup loop's local and still pins the LAST slot's arrays —
+            # without dropping it that segment's close() fails even with
+            # copy=True and resurfaces as a BufferError in __del__ at GC.
+            views = None  # noqa: F841
             views_per_slot.clear()
             for shm in shms:
                 try:
                     shm.close()
+                except BufferError:
+                    # a copy=False consumer still holds views into this
+                    # segment. Detach the python-side handles so __del__
+                    # doesn't retry the failing close at GC (the unraisable
+                    # BufferError Weak #5 flagged); the mapping itself is
+                    # released when the last view dies — consumer array ->
+                    # exported memoryview -> mmap refchain — and unlink
+                    # below already freed the name.
+                    shm._buf = None
+                    shm._mmap = None
                 except Exception:
                     pass
                 try:

@@ -71,10 +71,6 @@ def _interp_matrix_np(n_in: int, n_out: int):
     return m
 
 
-def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
-    return jnp.asarray(_interp_matrix_np(n_in, n_out))
-
-
 def _bf16_exact(m) -> bool:
     """True iff every interpolation weight survives the bf16 round trip —
     e.g. any out = 2*in - 1 stage (weights {0, 0.5, 1}) or DORN's

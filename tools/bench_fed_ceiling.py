@@ -107,7 +107,11 @@ def main(batch=16, size=512, steps_per_epoch=16, epochs=2):
                 "— the hard consumer ceiling for ANY fed pipeline here; "
                 "in-graph scan comparison point is 86.9 img/s",
     }
-    extra = json.loads(bench.EXTRA_FILE.read_text())
+    extra = (
+        json.loads(bench.EXTRA_FILE.read_text())
+        if bench.EXTRA_FILE.exists()
+        else {}
+    )
     extra["fed_consumer_ceiling"] = rec
     bench.EXTRA_FILE.write_text(json.dumps(extra))
     print(json.dumps(rec, indent=1))
