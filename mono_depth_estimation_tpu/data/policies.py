@@ -348,12 +348,21 @@ def _vnl_preprocess(rgb, depth, phase, rng):
     )
     b_rs = fprc(d, -1).astype(np.float32) / resize_ratio
 
-    return {
+    out = {
         "A": a_rs,                       # (385, 385, 3) normalized
         "B": b_rs[..., None],            # (385, 385, 1)
         "invalid_side": np.array([int(pad_height * resize_ratio), 0, 0, 0]),
         "ratio": np.float32(1.0 / resize_ratio),
     }
+    if "train" not in phase:
+        # restore_prediction target (modules/vnl.py:107,232-246): the
+        # raw-scale depth at the 512-high source resolution ('B_raw').
+        # Val/test only — sizes are uniform there (size_index is pinned to
+        # 512, so pad_height == 0 and the restore is purely /ratio +
+        # resize), which keeps the batch jit-static; train restores are a
+        # viz/log nicety in the reference and are skipped here.
+        out["B_raw"] = np.ascontiguousarray(d, np.float32)[..., None]
+    return out
 
 
 def vnl_train_preprocess(rgb, depth, *, rng, resize=None, output_size=None):

@@ -101,9 +101,13 @@ def stdepth_loss(
         it always request 'composite' or pass return flags in the
         reference; here it is always computed lazily when needed).
     """
-    pred = pred.astype(jnp.float32)
-    targ = targ.astype(jnp.float32)
-    rgba = rgba.astype(jnp.float32)
+    # promote (not cast): bf16 -> f32 as before, but f64 passes through —
+    # the gradient-parity certificates differentiate this loss at f64
+    # (tests/test_gradient_parity.py)
+    dt = jnp.promote_types(pred.dtype, jnp.float32)
+    pred = pred.astype(dt)
+    targ = targ.astype(dt)
+    rgba = rgba.astype(dt)
 
     mask1 = rgba[..., 3:4] > 0.0
     mask4 = jnp.broadcast_to(mask1, (*mask1.shape[:-1], 4))

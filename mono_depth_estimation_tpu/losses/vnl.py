@@ -129,8 +129,11 @@ def vnl_loss(
         gt_depth = gt_depth[..., 0]
     if pred_depth.ndim == 4:
         pred_depth = pred_depth[..., 0]
-    gt_depth = gt_depth.astype(jnp.float32)
-    pred_depth = pred_depth.astype(jnp.float32)
+    # promote (not cast): bf16 -> f32, f64 passes through for the f64
+    # gradient-parity certificate (tests/test_gradient_parity.py)
+    dt = jnp.promote_types(pred_depth.dtype, jnp.float32)
+    gt_depth = gt_depth.astype(dt)
+    pred_depth = pred_depth.astype(dt)
 
     xyz_gt = transfer_xyz(gt_depth, cfg)
     xyz_pred = transfer_xyz(pred_depth, cfg)
@@ -178,7 +181,7 @@ def _wcel_weight(dec_out_c: int) -> jnp.ndarray:
         [[np.exp(-0.2 * (i - j) ** 2) for i in range(dec_out_c)] for j in range(dec_out_c)]
     )
     w /= w.sum(axis=1, keepdims=True)
-    return jnp.asarray(w, dtype=jnp.float32)
+    return w  # f64 numpy; cast to the compute dtype at use
 
 
 def wcel_loss(
@@ -196,11 +199,12 @@ def wcel_loss(
         gt_depth: (B, H, W) depth for the valid-pixel count.
     """
     c = dec_out_c
-    weight = _wcel_weight(c)
-    log_pred = jax.nn.log_softmax(pred_logit, axis=-1)
-    one_hot = jax.nn.one_hot(gt_bins, c, dtype=jnp.float32)  # (B,H,W,C)
+    dt = jnp.promote_types(pred_logit.dtype, jnp.float32)
+    weight = _wcel_weight(c).astype(dt)
+    log_pred = jax.nn.log_softmax(pred_logit.astype(dt), axis=-1)
+    one_hot = jax.nn.one_hot(gt_bins, c, dtype=dt)  # (B,H,W,C)
     w = jnp.einsum("bhwc,cd->bhwd", one_hot, weight)
-    valid_pixels = jnp.maximum((gt_depth > 0).sum().astype(jnp.float32), 1.0)
+    valid_pixels = jnp.maximum((gt_depth > 0).sum().astype(dt), 1.0)
     return -(w * log_pred).sum() / valid_pixels
 
 

@@ -44,6 +44,14 @@ class MidasMethod(Method):
         # hub ResNeXt101-32x8d-WSL encoder weights (modules/midas.py:16-27)
         return "resnext101_32x8d_wsl"
 
+    def _model_input(self, batch):
+        """Train/val batches are (x, y) tuples; TEST batches are the
+        pad-to-square dicts from midas_test_preprocess (modules/midas.py:
+        152-184) whose network input is 'rgb'. Round-5 fix: without this
+        override evaluate.py could not initialize on midas at all — caught
+        by the evaluate-level parity certificate."""
+        return batch["rgb"] if isinstance(batch, dict) else batch[0]
+
     def _criterion(self, y_hat, y):
         """Loss switch (modules/midas.py:29-37)."""
         loss_name = self.method.loss

@@ -104,15 +104,31 @@ class VnlMethod(Method):
         }
 
     def val_outputs(self, model, variables, batch):
-        """Metrics on the network-resolution prediction against B. The
-        reference restores to raw resolution host-side per sample
-        (modules/vnl.py:232-246); we compare at crop resolution (uniform
-        sizes are required under jit) after undoing the resize ratio."""
+        """restore_prediction protocol (modules/vnl.py:232-246): divide the
+        crop-resolution prediction by the stored ratio (= multiply by
+        resize_ratio, mapping model scale back to raw depth scale), resize
+        to the raw 512-high resolution, and compare against B_raw. The
+        reference's per-sample invalid_side crop is structurally zero on
+        val/test batches (size_index pinned to 512 -> pad_height == 0,
+        data/policies.py _vnl_preprocess), so the restore is jit-static.
+
+        Round-5 fix: this previously MULTIPLIED by the stored ratio
+        (1/resize_ratio) and compared against B at crop resolution — the
+        prediction landed a factor resize_ratio^2 off the reference's
+        raw-scale comparison, skewing every scale-sensitive metric. The
+        evaluate-level parity certificate (tests/test_evaluate_parity.py)
+        now pins the corrected protocol against the reference's own code."""
         logits, cls = model.apply(variables, batch["A"], train=False)
         y_hat = self._predicted_depth(logits, cls)
         ratio = batch["ratio"].reshape(-1, 1, 1, 1)
-        y_hat = y_hat * ratio  # pred/ratio in ref == *ratio here (1/r stored)
-        return {"pairs": [("", y_hat, batch["B"])], "y_hat": y_hat}
+        y_hat = y_hat / ratio  # pred / data['ratio'] (modules/vnl.py:236)
+        if "B_raw" in batch:
+            y = batch["B_raw"]
+            y_hat = resize_nhwc(y_hat, tuple(y.shape[1:3]))
+        else:  # crop-resolution fallback (no raw target in the batch):
+            # compare at raw SCALE anyway — B/ratio == raw depth values
+            y = batch["B"] / ratio
+        return {"pairs": [("", y_hat, y)], "y_hat": y_hat}
 
     # decoder stage -> top-level flax module names, in the reference's
     # freezing order [top, fcn1..5, predict] (modules/vnl.py:167-179)

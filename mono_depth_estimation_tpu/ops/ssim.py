@@ -76,8 +76,11 @@ def ssim(
     """
     if pred.ndim == 3:
         pred, target = pred[None], target[None]
-    pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    # promote (not cast): bf16 -> f32, f64 passes through for the f64
+    # gradient-parity certificates
+    dt = jnp.promote_types(pred.dtype, jnp.float32)
+    pred = pred.astype(dt)
+    target = target.astype(dt)
 
     if data_range is None:
         hi = jnp.maximum(pred.max(), target.max())
@@ -87,7 +90,7 @@ def ssim(
     c1 = (_K1 * data_range) ** 2
     c2 = (_K2 * data_range) ** 2
 
-    win = jnp.asarray(_gaussian_kernel(win_size, sigma), dtype=jnp.float32)
+    win = jnp.asarray(_gaussian_kernel(win_size, sigma), dtype=dt)
     mu1 = _blur(pred, win, padding)
     mu2 = _blur(target, win, padding)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

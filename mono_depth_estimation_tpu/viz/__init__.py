@@ -153,8 +153,10 @@ def create_stdepth_plot(pred, targ, rgb, pred_full):
     for n in ax:
         ax[n].set_title(n)
         ax[n].set_axis_off()
-    _imshow(ax["Color (Input)"], rgb[..., :3])
-    _imshow(ax["Color (Targ)"], rgb[..., :3])
+    # the reference passes the full RGBA here (visualize.py:146-147:
+    # imshow(rgb.permute(1,2,0)) on the 4-channel input) — alpha included
+    _imshow(ax["Color (Input)"], rgb[..., :4])
+    _imshow(ax["Color (Targ)"], rgb[..., :4])
     _imshow(ax["Color (Pred)"], pred_full[..., :3])
     _imshow(ax["Back Color (Pred)"], pred[..., 12:15])
     _imshow(ax["Back Color (Targ)"], targ[..., 12:15])

@@ -34,6 +34,65 @@ METRIC_NAMES = [
 ]
 
 
+def _randomize_bn(tm):
+    """Non-trivial BN stats AND affine params (vacuous-pass guard, same as
+    tests/test_full_model_parity.py)."""
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+
+
+def _t(a):
+    """HWC float numpy -> (1, C, H, W) torch."""
+    return torch.from_numpy(
+        np.transpose(np.asarray(a, np.float32), (2, 0, 1))[None].copy()
+    )
+
+
+def _method_from_argv(argv):
+    from mono_depth_estimation_tpu.cli.common import (
+        build_parser,
+        derive_globals,
+        parse_args_into_namespaces,
+    )
+    from mono_depth_estimation_tpu.methods import get_method
+
+    parser, cmds = build_parser("parity-ref")
+    margs = parse_args_into_namespaces(parser, cmds, argv)
+    derive_globals(margs)
+    return get_method(margs)
+
+
+def _ref_epoch(ds, test_t, step_fn):
+    """Reference aggregation: MetricComputation per batch-of-1 step, then
+    mean over steps — what pl log(on_epoch=True) reduces to at batch_size 1
+    (/root/reference/evaluate.py:34-36, metrics.py:47-72)."""
+    import metrics as ref_metrics  # /root/reference/metrics.py
+
+    comp = ref_metrics.MetricComputation(METRIC_NAMES)
+    step_values = []
+    with torch.no_grad():
+        for i in range(len(ds)):
+            rgb, depth = ds.get_raw(i)
+            y_hat, y = step_fn(test_t(rgb, depth, None))
+            step_values.append([float(v) for v in comp.compute(y_hat, y)])
+    return {
+        n: float(np.mean([sv[j] for sv in step_values]))
+        for j, n in enumerate(METRIC_NAMES)
+    }
+
+
+def _assert_metric_parity(ours, ref, tol=1e-3):
+    for n in METRIC_NAMES:
+        assert abs(ours[n] - ref[n]) <= tol, (
+            n, ours[n], ref[n], {k: (ours[k], ref[k]) for k in METRIC_NAMES}
+        )
+
+
 def _stub_reference_imports():
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
@@ -377,3 +436,410 @@ def test_dorn_evaluate_metric_parity(tmp_path):
         assert abs(ours[n] - ref[n]) <= 1e-3, (
             n, ours[n], ref[n], {k: (ours[k], ref[k]) for k in METRIC_NAMES}
         )
+
+
+@pytest.mark.xslow
+def test_laina_evaluate_metric_parity(tmp_path):
+    """Fourth evaluate-level certificate: FCRN/laina with converted weights
+    through both eval pipelines on the same stdepthmulti test samples.
+
+    * reference: vendored torch FCRN forward (network/FCRN.py:297-371) ->
+      test_step metrics at model resolution on the full 20-channel stdepth
+      prediction (modules/laina.py:38-49 log_test(y_hat, y)) ->
+      MetricComputation -> mean over steps (evaluate.py:34-36)
+    * ours: cli/evaluate.py main() with --torch_weights on stdepthmulti
+    """
+    _stub_reference_imports()
+    from vendored_torch_encoders import install_fake_torchvision
+
+    install_fake_torchvision()
+    from network import FCRN as RefFCRN
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.data.stdepth import get_stdepthmulti_dataset
+    from mono_depth_estimation_tpu.data.synthetic import materialize_stdepth_dir
+    from mono_depth_estimation_tpu.models.fcrn import FCRN
+    from tools.convert_torch_ckpt import convert_sequential
+
+    data_dir = materialize_stdepth_dir(
+        tmp_path / "data", n_train=1, n_val=1, n_test=2, h=64, w=64
+    )
+
+    tm = RefFCRN.ResNet(
+        layers=50, decoder="upproj", output_size=(240, 320), out_channels=20,
+        pretrained=False,
+    ).eval()
+    _randomize_bn(tm)
+
+    fm = FCRN(layers=50, decoder="upproj", output_size=(240, 320),
+              out_channels=20)
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 3), jnp.float32),
+        train=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sequential(sd, template)
+    wfile = tmp_path / "fcrn_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_laina",
+        "stdepthmulti", "--path", str(data_dir), "--test",
+        "laina", "--torch_weights", str(wfile),
+    ]
+    ours = eval_main(argv)
+
+    method = _method_from_argv(argv)
+    _, _, test_t = method.policy_fns()
+    ds = get_stdepthmulti_dataset(
+        Namespace(path=str(data_dir), single_layer=False,
+                  background_depth_max=False),
+        "test", (240, 320), 250,
+    )
+
+    def step(sample):
+        x, y = sample
+        # modules/laina.py:38-49: y_hat = self(x), metrics on (y_hat, y)
+        return tm(_t(x)), _t(y)
+
+    _assert_metric_parity(ours, _ref_epoch(ds, test_t, step))
+
+
+@pytest.mark.xslow
+def test_my_evaluate_metric_parity(tmp_path, monkeypatch):
+    """Fifth evaluate-level certificate: MyNet with converted (reordered)
+    weights through both eval pipelines.
+
+    * reference: vendored torch MyModel forward (network/MyNet.py:267-275)
+      -> test_step protocol: x interpolated to output_size, y and y_hat to
+      480x640 (modules/my.py:60-68) -> MetricComputation -> mean over steps
+    * ours: cli/evaluate.py main() with --torch_weights on synthetic
+
+    MyModel geometry is input_size-tied (the Weighter FC,
+    network/MyNet.py:86-89), so both sides shrink to 64x96 for CPU speed;
+    the protocol under certification is unchanged."""
+    _stub_reference_imports()
+    from vendored_torch_encoders import install_fake_torchvision
+
+    install_fake_torchvision()
+    from network import MyNet as RefMyNet
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+    from mono_depth_estimation_tpu.methods.my import MyMethod
+    from mono_depth_estimation_tpu.models.mynet import MyModel
+    from mono_depth_estimation_tpu.utils.torch_convert import reorder_mynet_keys
+    from tools.convert_torch_ckpt import convert_sequential
+
+    monkeypatch.setattr(MyMethod, "output_size", lambda self: (64, 96))
+    monkeypatch.setattr(MyMethod, "resize", lambda self: 100)
+
+    tm = RefMyNet.MyModel(input_size=(64, 96)).eval()  # densenet161 default
+    _randomize_bn(tm)
+
+    fm = MyModel(input_size=(64, 96))
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32),
+        train=False,
+    )
+    sd = reorder_mynet_keys(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    )
+    variables = convert_sequential(sd, template)
+    wfile = tmp_path / "mynet_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_my",
+        "synthetic", "--n_images", "2", "--test",
+        "my", "--torch_weights", str(wfile),
+    ]
+    ours = eval_main(argv)
+
+    method = _method_from_argv(argv)
+    _, _, test_t = method.policy_fns()
+    ds = get_synthetic_dataset(Namespace(n_images=2), "test", (64, 96), 100)
+
+    def step(sample):
+        x, y = sample
+        # modules/my.py:60-68 test protocol
+        xt = torch.nn.functional.interpolate(_t(x), (64, 96), mode="bilinear")
+        y_hat = tm(xt)
+        yt = torch.nn.functional.interpolate(_t(y), (480, 640), mode="bilinear")
+        y_hat = torch.nn.functional.interpolate(y_hat, (480, 640),
+                                                mode="bilinear")
+        return y_hat, yt
+
+    _assert_metric_parity(ours, _ref_epoch(ds, test_t, step))
+
+
+@pytest.mark.xslow
+def test_sharpnet_evaluate_metric_parity(tmp_path, monkeypatch):
+    """Sixth evaluate-level certificate: SharpNet with converted weights
+    through both eval pipelines.
+
+    The reference defines NO test_step for SharpNetModule and leaves it out
+    of its registry entirely (modules/__init__.py:3, modules/sharpnet.py) —
+    evaluating sharpnet is a documented capability improvement here. The
+    certified protocol is therefore the reference's VAL protocol, its only
+    eval path: y_hat = model(x), metrics at model resolution
+    (modules/sharpnet.py:129-135 log_val).
+
+    Both sides run a 1-block-per-stage encoder (CPU speed, same trick as
+    test_full_sharpnet_parity); the protocol is depth-preset-independent."""
+    _stub_reference_imports()
+    from network import SharpNet as RefSharpNet
+
+    from flax import serialization
+
+    import mono_depth_estimation_tpu.models.encoders.resnet as rn
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+    from mono_depth_estimation_tpu.models.encoders.resnet import ResNetConfig
+    from mono_depth_estimation_tpu.models.sharpnet import SharpNet
+    from tools.convert_torch_ckpt import convert_sequential
+
+    monkeypatch.setitem(
+        rn.RESNET_PRESETS, "sharpnet_resnet50",
+        ResNetConfig((1, 1, 1, 1), stage_strides=(1, 2, 2, 1),
+                     stage_dilations=(1, 1, 1, 2), dilate_only_first=True),
+    )
+    tm = RefSharpNet.SharpNet(
+        RefSharpNet.Bottleneck, [1, 1, 1, 1], [2, 2, 2, 2, 2], use_depth=True
+    ).eval()
+    _randomize_bn(tm)
+
+    fm = SharpNet(use_depth=True)
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 240, 320, 3), jnp.float32),
+        train=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sequential(sd, template)
+    wfile = tmp_path / "sharpnet_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_sharpnet",
+        "synthetic", "--n_images", "2", "--test",
+        "sharpnet", "--torch_weights", str(wfile),
+    ]
+    ours = eval_main(argv)
+
+    method = _method_from_argv(argv)
+    _, _, test_t = method.policy_fns()
+    ds = get_synthetic_dataset(Namespace(n_images=2), "test", (240, 320), 240)
+
+    def step(sample):
+        x, y = sample
+        return tm(_t(x)), _t(y)
+
+    _assert_metric_parity(ours, _ref_epoch(ds, test_t, step))
+
+
+@pytest.mark.xslow
+def test_midas_evaluate_metric_parity(tmp_path):
+    """Seventh evaluate-level certificate — one of the two protocols VERDICT
+    r4 called out: MiDaS pad-to-square + crop-back + ssi scale-shift.
+
+    * reference: vendored torch MidasNet forward on the padded square rgb
+      -> scale_shift alignment against batch['depth']
+      (modules/midas.py:57-62, criteria.compute_scale_and_shift run from
+      the reference's own criteria.py) -> upsample to (640, 640) -> crop
+      [0:480, 0:640] -> metrics vs batch['depth_raw']
+      (modules/midas.py:83-92) -> mean over steps
+    * ours: cli/evaluate.py main() with --torch_weights on synthetic
+
+    Both sides use a 1-channel head: the ssi protocol is only well-formed
+    for single-channel predictions — the reference evaluates the 1ch hub
+    MiDaS (modules/midas.py:39-41); its scratch net's hardcoded 7ch stdepth
+    head (network/MiDaS.py:54) cannot feed compute_scale_and_shift
+    (criteria.py:154-176 would sum a (B,7,H,W) pred against a (B,H,W)
+    target over dims (1,2)). The reference's final 1x1 conv is swapped for
+    a 1-channel one in place; ours is built with out_channels=1."""
+    _stub_reference_imports()
+    from vendored_torch_encoders import (
+        install_fake_torchvision,
+        resnext101_32x8d,
+    )
+
+    install_fake_torchvision()
+
+    import torch.hub as hub
+
+    orig_load = hub.load
+    hub.load = lambda *a, **k: resnext101_32x8d()
+    try:
+        from network import MiDaS as RefMiDaS
+
+        tm = RefMiDaS.MidasNet(features=64)
+    finally:
+        hub.load = orig_load
+    tm.scratch.output_conv[4] = torch.nn.Conv2d(32, 1, kernel_size=1)
+    tm = tm.eval()
+    _randomize_bn(tm)
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+    from mono_depth_estimation_tpu.models.midas import MidasNet
+    from tools.convert_torch_ckpt import convert_sequential
+
+    fm = MidasNet(features=64, out_channels=1)
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32),
+        train=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sequential(sd, template)
+    wfile = tmp_path / "midas_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_midas",
+        "synthetic", "--n_images", "2", "--test",
+        "midas", "--torch_weights", str(wfile),
+        "--features", "64", "--out-channels", "1",
+    ]
+    ours = eval_main(argv)
+
+    method = _method_from_argv(argv)
+    _, _, test_t = method.policy_fns()
+    ds = get_synthetic_dataset(Namespace(n_images=2), "test", (384, 384), 400)
+
+    import criteria as ref_criteria  # /root/reference/criteria.py
+
+    def step(sample):
+        xt = _t(sample["rgb"])
+        y_hat = tm(xt).type(torch.float32)
+        # scale_shift (modules/midas.py:57-62; default loss 'ssitrim')
+        pred = y_hat.squeeze(1)
+        target = _t(sample["depth"]).squeeze(1)
+        scale, shift = ref_criteria.compute_scale_and_shift(pred, target)
+        pred = scale.view(-1, 1, 1) * pred + shift.view(-1, 1, 1)
+        y_hat = pred.unsqueeze(1)
+        # pad-to-square eval: upsample to 640^2, crop back to 480x640
+        # (modules/midas.py:89-90)
+        y_hat = torch.nn.functional.interpolate(y_hat, (640, 640),
+                                                mode="bilinear")
+        y_hat = y_hat[..., 0:480, 0:640]
+        return y_hat, _t(sample["depth_raw"])
+
+    _assert_metric_parity(ours, _ref_epoch(ds, test_t, step))
+
+
+@pytest.mark.xslow
+def test_vnl_evaluate_metric_parity(tmp_path):
+    """Eighth evaluate-level certificate — the other protocol VERDICT r4
+    called out: VNL's restore_prediction un-pad/un-scale/un-resize chain.
+
+    * reference: vendored torch MetricDepthModel forward on the normalized
+      385x385 crop -> bins_to_depth softmax decode (modules/vnl.py:218-230)
+      -> restore_prediction: invalid_side crop (structurally 0 at test),
+      pred / ratio, cv2 resize back to the raw 512-high resolution,
+      metrics vs B_raw (modules/vnl.py:232-246,279-287) -> mean over steps
+    * ours: cli/evaluate.py main() with --torch_weights on synthetic
+
+    512x512 source images pin the test-phase crop offset to 0 (the
+    reference's np.random.randint crop start is degenerate there), making
+    the protocol deterministic on both sides. dec_out_c=25 shrinks the head
+    for CPU; the decode/restore math is bin-count-generic."""
+    _stub_reference_imports()
+    from network import VNL as RefVNL
+
+    from flax import serialization
+
+    from mono_depth_estimation_tpu.data.synthetic import get_synthetic_dataset
+    from mono_depth_estimation_tpu.models.vnl import MetricDepthModel
+    from tools.convert_torch_ckpt import convert_sequential, reorder_vnl_keys
+
+    C = 25
+    targs = Namespace(
+        encoder="resnext50_32x4d_body_stride16", init_type="xavier",
+        pretrained=False, freeze_backbone=False,
+        enc_dim_in=[64, 256, 512, 1024, 2048],
+        enc_dim_out=[512, 256, 256, 256],
+        dec_dim_in=[512, 256, 256, 256, 256, 256],
+        dec_dim_out=[256, 256, 256, 256, 256],
+        dec_out_c=C, crop_size=(385, 385),
+    )
+    tm = RefVNL.MetricDepthModel(targs).eval()
+    _randomize_bn(tm)
+
+    fm = MetricDepthModel(
+        encoder="resnext50_32x4d_body_stride16",
+        enc_dim_out=(512, 256, 256, 256),
+        dec_dim_in=(512, 256, 256, 256, 256, 256),
+        dec_dim_out=(256, 256, 256, 256, 256),
+        dec_out_c=C, crop_size=(385, 385),
+    )
+    # conv-only param tree: template init at a small size is H/W-agnostic
+    template = fm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 97, 97, 3), jnp.float32),
+        train=False,
+    )
+    sd = reorder_vnl_keys(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    )
+    variables = convert_sequential(sd, template)
+    wfile = tmp_path / "vnl_full.msgpack"
+    wfile.write_bytes(serialization.to_bytes(variables))
+
+    from mono_depth_estimation_tpu.cli.evaluate import main as eval_main
+
+    argv = [
+        "--metrics", *METRIC_NAMES, "--worker", "0", "--precision", "32",
+        "--name", "parity_vnl",
+        "synthetic", "--n_images", "2", "--image_size", "512", "512",
+        "--test",
+        "vnl", "--torch_weights", str(wfile), "--dec_out_c", str(C),
+    ]
+    ours = eval_main(argv)
+
+    method = _method_from_argv(argv)
+    _, _, test_t = method.policy_fns()
+    ds = get_synthetic_dataset(
+        Namespace(n_images=2, image_size=(512, 512)), "test", (385, 385), 400
+    )
+
+    # depth-bin constants (modules/vnl.py:160-166)
+    depth_min, depth_max = 0.01, 1.1
+    interval = (np.log10(depth_max) - np.log10(depth_min)) / C
+    borders = torch.tensor(
+        [np.log10(depth_min) + interval * (i + 0.5) for i in range(C)],
+        dtype=torch.float32,
+    )
+
+    import cv2
+
+    def step(sample):
+        pred_logits, pred_cls = tm(_t(sample["A"]))
+        # bins_to_depth (modules/vnl.py:218-230)
+        db = pred_cls.permute(0, 2, 3, 1)
+        depth = torch.sum(db * borders, dim=3, keepdim=True)
+        depth = (10.0 ** depth).permute(0, 3, 1, 2)
+        # restore_prediction (modules/vnl.py:232-246)
+        inv = np.asarray(sample["invalid_side"])
+        assert inv[0] == 0 and inv[1] == 0  # 512-source test batches
+        pred = depth[0, 0] / float(sample["ratio"])
+        b_raw = np.asarray(sample["B_raw"])[..., 0]
+        pred = cv2.resize(pred.numpy(), (b_raw.shape[1], b_raw.shape[0]))
+        return (
+            torch.from_numpy(pred)[None, None],
+            torch.from_numpy(b_raw)[None, None],
+        )
+
+    _assert_metric_parity(ours, _ref_epoch(ds, test_t, step))

@@ -1,0 +1,370 @@
+"""Gradient-level training-math parity (VERDICT r4 task #2).
+
+Every other reference comparison in this suite is forward-only; these
+certificates differentiate the shipped loss paths against torch autograd
+running the REFERENCE's own code on shared f64 inputs/weights:
+
+* depth_sort + composite_layers (the compare-select network's custom VJP,
+  ops/compositing.py) vs /root/reference/stdepth_utils.py:4-42 autograd.
+* The full flagship BTS training step — as-shipped model config, silma
+  composite loss with SSIM and fb-divergence terms — backward through the
+  converted network vs the reference network/Bts.py + the
+  base_module.py:124-208 criterion, per-leaf relative grad norms <= 1e-4.
+* The VNL ModelLoss (WCEL + virtual-normal with the static-shape sampling
+  rewrite, losses/vnl.py) vs criteria.py:839-1045 autograd.
+
+f64 throughout (jax.experimental.enable_x64 + torch .double()): at f64 the
+only legitimate source of disagreement is MATH, not accumulation order.
+"""
+
+import sys
+import types
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _stub_reference_imports():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        func = types.ModuleType("torchmetrics.functional")
+        reg = types.ModuleType("torchmetrics.functional.regression")
+        reg.mean_absolute_error = lambda p, t: (p - t).abs().mean()
+        reg.mean_squared_error = lambda p, t: ((p - t) ** 2).mean()
+        reg.mean_squared_log_error = (
+            lambda p, t: ((torch.log1p(p) - torch.log1p(t)) ** 2).mean()
+        )
+        func.regression = reg
+        func.structural_similarity_index_measure = None
+        tm.functional = func
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = func
+        sys.modules["torchmetrics.functional.regression"] = reg
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+@pytest.mark.slow
+def test_depth_sort_composite_gradient_parity():
+    """d/dx of composite_layers(depth_sort(x)) — the riskiest custom VJP in
+    the tree (the compare-select sorting network) — against torch autograd
+    through the reference's stable-sort + gather (stdepth_utils.py:4-42).
+    Distinct depths (ties would make the permutation convention-dependent);
+    f64, so agreement must be near bit-level."""
+    _stub_reference_imports()
+    import stdepth_utils as ref_su  # /root/reference/stdepth_utils.py
+
+    from mono_depth_estimation_tpu.ops.compositing import (
+        composite_layers,
+        depth_sort,
+    )
+
+    rng = np.random.default_rng(0)
+    b, L, h, w = 2, 3, 8, 10
+    x = rng.uniform(0.05, 0.95, (b, L, h, w, 5))
+    # make depths distinct across layers per pixel
+    x[..., 4] += np.arange(L)[None, :, None, None] * rng.permutation(
+        np.linspace(0.1, 0.3, L)
+    )[None, :, None, None]
+    cot = rng.normal(size=(b, h, w, 4))
+
+    with jax.enable_x64(True):
+        def f(z):
+            return (
+                composite_layers(depth_sort(z)[..., :4]) * jnp.asarray(cot)
+            ).sum()
+
+        g_ours = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(
+        np.transpose(x, (0, 1, 4, 2, 3)).copy()
+    ).requires_grad_(True)  # (B, L, C, H, W)
+    out = ref_su.composite_layers(ref_su.depth_sort(xt))  # (B, 4, H, W)
+    cot_t = torch.from_numpy(np.transpose(cot, (0, 3, 1, 2)).copy())
+    (out * cot_t).sum().backward()
+    g_ref = np.transpose(xt.grad.numpy(), (0, 1, 3, 4, 2))
+
+    np.testing.assert_allclose(g_ours, g_ref, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_vnl_model_loss_gradient_parity():
+    """d/d(pred_logit, pred_depth) of WCEL + w * VNL — the static-shape
+    sampling rewrite (losses/vnl.py) vs the reference's compacting gather
+    (criteria.py:839-1045) under torch autograd, f64, with the same
+    injected point groups (the only nondeterminism is the np.random draw;
+    see test_reference_parity.py::test_vnl_loss_tail_parity)."""
+    _stub_reference_imports()
+    import criteria  # /root/reference/criteria.py
+
+    from mono_depth_estimation_tpu.losses.vnl import (
+        VNLConfig,
+        vnl_loss,
+        wcel_loss,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, w, c = 2, 16, 20, 10
+    fx = fy = 25.0
+    diff_w = 6.0
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    gt = np.broadcast_to(
+        2.0 + 0.4 * np.sin(xx / 3.0) + 0.4 * np.cos(yy / 2.5), (b, h, w)
+    ) + 0.05 * rng.normal(size=(b, h, w))
+    gt[rng.uniform(size=gt.shape) < 0.15] = 0.0
+    pred = np.clip(gt + rng.normal(0, 0.4, gt.shape), 0.05, 12)
+    logits = rng.normal(size=(b, c, h, w))
+    gt_bins = rng.integers(0, c, (b, h, w))
+
+    n = int(h * w * 0.15)
+    p = rng.integers(0, h * w, (3, n))
+    p123 = {
+        "p1_x": p[0] % w, "p1_y": p[0] // w,
+        "p2_x": p[1] % w, "p2_y": p[1] // w,
+        "p3_x": p[2] % w, "p3_y": p[2] // w,
+    }
+
+    # ---- reference: torch autograd, f64
+    class Args:
+        dec_out_c = c
+        wce_loss_weight = np.array(
+            [[np.exp(-0.2 * (i - j) ** 2) for i in range(c)] for j in range(c)]
+        )
+
+    logits_t = torch.from_numpy(logits.copy()).requires_grad_(True)
+    pred_t = torch.from_numpy(pred.copy()).requires_grad_(True)
+    vl = criteria.VNL_Loss(fx, fy, (h, w))
+    vl.select_index = lambda: p123
+    # ModelLoss composition (criteria.py:1054-1062)
+    loss_ref = criteria.WCEL_Loss(Args())(
+        logits_t, torch.from_numpy(gt_bins), torch.from_numpy(gt)
+    ) + diff_w * vl(
+        torch.from_numpy(gt).unsqueeze(1), pred_t.unsqueeze(1), select=True
+    )
+    loss_ref.backward()
+    g_logits_ref = np.transpose(logits_t.grad.numpy(), (0, 2, 3, 1))
+    g_pred_ref = pred_t.grad.numpy()
+
+    # ---- ours: jax.grad, f64
+    with jax.enable_x64(True):
+        cfg = VNLConfig(focal_x=fx, focal_y=fy, input_size=(h, w))
+
+        def f(lg, pd):
+            return wcel_loss(
+                lg, jnp.asarray(gt_bins), jnp.asarray(gt), dec_out_c=c
+            ) + diff_w * vnl_loss(
+                jnp.asarray(gt), pd, cfg, key=jax.random.PRNGKey(0),
+                select=True, p123=jnp.asarray(p),
+            )
+
+        ours_val, (g_logits, g_pred) = jax.value_and_grad(f, argnums=(0, 1))(
+            jnp.asarray(np.transpose(logits, (0, 2, 3, 1))), jnp.asarray(pred)
+        )
+
+    assert np.isclose(float(ours_val), float(loss_ref.detach()), rtol=1e-6)
+    # WCEL: the reference casts its weight matrix to f32 internally
+    # (criteria.py:851 dtype=torch.float), so agreement bottoms out there
+    np.testing.assert_allclose(np.asarray(g_logits), g_logits_ref,
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_pred), g_pred_ref,
+                               rtol=1e-5, atol=1e-9)
+
+
+def _ref_silma_composite_criterion(criteria, ref_su):
+    """The reference stdepth criterion closure for the flagship loss string
+    'silma+composite+ssim+fbdivergence' at single_layer=True — replicated
+    VERBATIM from modules/base_module.py:124-208 (base_module itself
+    imports wandb/pytorch_lightning, absent here; every referenced function
+    is the reference's own)."""
+    import torch.nn.functional as F
+
+    _silog = criteria.silog_loss(variance_focus=0.85)
+    depth_w, comp_w, fbdiv_w, ssim_w = 10.0, 2.0, 0.2, 2.0
+
+    def criterion(pred, targ, rgba):
+        mask1 = rgba[:, [3]] > 0.0
+        mask4 = mask1.expand(-1, 4, -1, -1)
+        mask8 = mask1.expand(-1, 8, -1, -1)
+        depth_idx = (slice(None), slice(8, 10))
+        maskD = targ[depth_idx] > 0.0
+        loss_dict = {}
+        # composite (single_layer branch, base_module.py:143-146)
+        l1b, back = pred[:, :4], pred[:, 4:8]
+        pred_full = ref_su.composite_layers(torch.stack([l1b, back], dim=1))
+        targ_full = rgba
+        # silma (:156-158; the closure wraps silog in nan_to_num twice)
+        loss_dict["depth_silog"] = depth_w * torch.nan_to_num(
+            torch.nan_to_num(_silog(pred[depth_idx][maskD],
+                                    targ[depth_idx][maskD]))
+        )
+        loss_dict["color_mae"] = F.l1_loss(pred[:, :8][mask8],
+                                           targ[:, :8][mask8])
+        # composite mse + composite ssim (:179-185)
+        comp_loss = comp_w * F.mse_loss(pred_full[mask4], targ_full[mask4],
+                                        reduction="none")
+        loss_dict["composite_mse"] = torch.mean(torch.nan_to_num(comp_loss))
+        loss_dict["composite_ssim"] = ssim_w * comp_w * ref_su.dssim2d(
+            torch.clamp(pred_full, 0.0, 1.0),
+            torch.clamp(targ_full, 0.0, 1.0), reduction="none",
+        )[mask4].mean()
+        # fbdivergence (:186-196)
+        fpbg = (torch.linalg.vector_norm(pred[:, :3], dim=1, keepdim=True)
+                * torch.linalg.vector_norm(targ[:, 4:7], dim=1, keepdim=True)
+                ) + 1e-3
+        fgbp = (torch.linalg.vector_norm(pred[:, 4:7], dim=1, keepdim=True)
+                * torch.linalg.vector_norm(targ[:, :3], dim=1, keepdim=True)
+                ) + 1e-3
+        fb = ((pred[:, :3] * targ[:, 4:7] / fpbg).sum(dim=1)
+              + (pred[:, 4:7] * targ[:, :3] / fgbp).sum(dim=1)
+              )[mask1.squeeze(1)]
+        loss_dict["fb_divergence"] = fbdiv_w * fb.mean()
+        return torch.stack(list(loss_dict.values())).sum()
+
+    return criterion
+
+
+@pytest.mark.xslow
+def test_bts_flagship_gradient_parity():
+    """FLAGSHIP training-math certificate: the full as-shipped BTS
+    (DenseNet-161, out_channels=10, image_residuals=True) + the silma
+    composite loss with SSIM and fb-divergence terms, backward on shared
+    f64 weights and a shared batch.
+
+    * reference: network/Bts.py forward on x[:, :3] (modules/bts.py:102-108
+      training_step) -> base_module.py:124-208 criterion -> torch autograd
+    * ours: jax.grad of BtsMethod.train_loss (the production jitted path's
+      exact function) wrt params
+
+    Every converted gradient leaf must match within 1e-4 relative norm —
+    the criterion exercises silog, the 2-layer composite scan VJP, the
+    separable-SSIM VJP, and the masked reductions. (The 20-channel
+    depth_sort VJP gets its own direct certificate above: the reference's
+    OWN multi-layer composite branch crashes on its 5-channel targ_full vs
+    4-channel mask — base_module.py:148/182 — so the full-module
+    multi-layer comparison cannot run the reference side.)"""
+    _stub_reference_imports()
+    from vendored_torch_encoders import install_fake_torchvision
+
+    install_fake_torchvision()
+    import criteria  # /root/reference/criteria.py
+    import stdepth_utils as ref_su
+    from network import Bts as RefBts
+
+    from flax import traverse_util
+
+    from mono_depth_estimation_tpu.methods.bts import BtsMethod
+    from mono_depth_estimation_tpu.utils.torch_convert import (
+        convert_sequential,
+    )
+
+    tm = RefBts.BtsModel(
+        bts_size=512, max_depth=1.0, out_channels=10, image_residuals=True,
+        encoder_version="densenet161_bts",
+    ).double().train()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 64, 96
+    x = rng.uniform(0.0, 1.0, (b, h, w, 4))
+    x[..., 3] = np.where(rng.uniform(size=(b, h, w)) < 0.1, 0.0, x[..., 3])
+    y = rng.uniform(0.05, 1.0, (b, h, w, 10))
+    y[..., 8:10] = np.where(
+        rng.uniform(size=(b, h, w, 2)) < 0.1, 0.0, y[..., 8:10]
+    )
+
+    # ---- reference backward
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    yt = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)).copy())
+    criterion = _ref_silma_composite_criterion(criteria, ref_su)
+    y_hat_t = tm(xt[:, :3])[4]  # modules/bts.py:104-105
+    loss_ref = criterion(y_hat_t, yt, xt)
+    loss_ref.backward()
+
+    # grads -> a state_dict-shaped stream (same keys/order; buffers keep
+    # their values — they land in batch_stats, which we ignore) -> the SAME
+    # converter that aligns weights aligns gradients (transposes/reshapes
+    # commute with d/dW)
+    params = dict(tm.named_parameters())
+    sd_grads = {}
+    for k, v in tm.state_dict().items():
+        if k in params:
+            g = params[k].grad
+            assert g is not None, f"no grad for {k}"
+            sd_grads[k] = g.detach().numpy()
+        else:
+            sd_grads[k] = v.detach().numpy()
+
+    with jax.enable_x64(True):
+        g = Namespace(metrics=["mae"], worker=0, ds_name="stdepthmulti2",
+                      depth_method=None)
+        m = Namespace(
+            name="bts", learning_rate=1e-4, batch_size=2, ckpt=None,
+            torch_weights=None, bts_size=512, out_channels=10,
+            image_residuals=True, max_depth=1.0,
+            encoder="densenet161_bts", variance_focus=0.85, adam_eps=1e-3,
+            weight_decay=1e-2, loss="silma+composite+ssim+fbdivergence",
+            depth_loss_weight=10.0, comp_loss_weight=2.0,
+            fbdiv_loss_weight=0.2, ssim_loss_weight=2.0,
+            fix_first_conv_blocks=False, fix_first_conv_block=False,
+            bn_no_track_stats=False, freeze_encoder=False,
+        )
+        method = BtsMethod(g, m)
+        model = method.build_model()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float64),
+            train=False,
+        )
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = convert_sequential(sd, template)
+        grad_tree = convert_sequential(sd_grads, template)
+
+        variables = jax.tree.map(jnp.asarray, variables)
+        batch = (jnp.asarray(x), jnp.asarray(y))
+
+        def loss_fn(params_):
+            v = {"params": params_,
+                 "batch_stats": variables.get("batch_stats")}
+            loss, _ = method.train_loss(model, v, batch,
+                                        jax.random.PRNGKey(0))
+            return loss
+
+        loss_ours, grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    assert np.isclose(float(loss_ours), float(loss_ref), rtol=1e-8), (
+        float(loss_ours), float(loss_ref)
+    )
+
+    flat_ours = traverse_util.flatten_dict(grads)
+    flat_ref = traverse_util.flatten_dict(grad_tree["params"])
+    assert set(flat_ours) == set(flat_ref)
+    worst = (None, 0.0)
+    for path, g_ref in flat_ref.items():
+        g_ours = np.asarray(flat_ours[path], np.float64)
+        g_ref = np.asarray(g_ref, np.float64)
+        dn = float(np.linalg.norm(g_ours - g_ref))
+        rn = float(np.linalg.norm(g_ref))
+        rel = dn / max(rn, 1e-12)
+        if rn < 1e-12:  # zero-gradient leaf: absolute check
+            assert dn < 1e-10, (path, dn)
+            continue
+        if rel > worst[1]:
+            worst = (path, rel)
+        assert rel <= 1e-4, (path, rel, rn)
+    print("worst per-leaf relative grad-norm error:", worst)
