@@ -347,8 +347,9 @@ def test_bts_flagship_gradient_parity():
 
         loss_ours, grads = jax.value_and_grad(loss_fn)(variables["params"])
 
-    assert np.isclose(float(loss_ours), float(loss_ref), rtol=1e-8), (
-        float(loss_ours), float(loss_ref)
+    loss_ref_v = float(loss_ref.detach())
+    assert np.isclose(float(loss_ours), loss_ref_v, rtol=1e-8), (
+        float(loss_ours), loss_ref_v
     )
 
     flat_ours = traverse_util.flatten_dict(grads)
