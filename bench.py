@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -180,6 +181,141 @@ def _mfu_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> float:
     return _roofline_from_cost(compiled, sec_per_iter, n_iters)["mfu"]
 
 
+_HLO_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s64": 8, "u64": 8, "s32": 4, "u32": 4, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1, "c64": 8, "c128": 16,
+}
+
+# pure aliases / bookkeeping: no write of their own AND reads through them
+# resolve to buffers we can't track, so skip both sides (slight under-count)
+_HLO_TRANSPARENT_OPS = {
+    "tuple", "get-tuple-element", "bitcast", "bitcast-convert", "after-all",
+    "partition-id", "replica-id",
+}
+# produce no write we should bill the program for (inputs exist already,
+# constants are preloaded) — but READING them as an operand is real traffic
+_HLO_NO_WRITE_OPS = _HLO_TRANSPARENT_OPS | {"parameter", "constant"}
+
+
+def _hlo_shape_bytes(segment: str) -> int:
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", segment):
+        bpe = _HLO_DTYPE_BYTES.get(m.group(1))
+        if bpe is None:
+            continue
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        total += n * bpe
+    return total
+
+
+def _postfusion_traffic_bytes(compiled) -> float | None:
+    """Crude POST-FUSION HBM traffic estimate from the optimized HLO text
+    (VERDICT r4 task #8's "known-fusion subtraction").
+
+    The compiler cost model's "bytes accessed" is LOGICAL — it counts every
+    operand/output of every op even when XLA fuses the op away and the
+    buffer never exists in HBM. After optimization, fused elementwise
+    chains live INSIDE fusion computations; only the fusion's own inputs
+    and outputs move through HBM. So: sum output + operand bytes over the
+    TOP-LEVEL instructions of executed computations (entry, while
+    bodies/conds, conditional branches), skipping pure aliases — and skip
+    everything inside computations that are only kFused/reducer bodies
+    (referenced via calls=/to_apply=). One read per consumer, one write per
+    producer; reduction-operand reads and conv/dot operands count at their
+    full size. Still crude (no cache reuse, no double-buffering, while
+    bodies counted once — the cost model's convention), but it subtracts
+    exactly the traffic fusion provably removed. Returns None if the
+    backend can't export HLO text."""
+    try:
+        txt = compiled.as_text()
+    except Exception:
+        return None
+    if not txt or "ENTRY" not in txt:
+        return None
+
+    # computation name -> list of instruction lines
+    comps: dict[str, list[str]] = {}
+    cur = None
+    for line in txt.splitlines():
+        stripped = line.strip()
+        m = re.match(r"(?:ENTRY\s+)?%([-\w\.]+)\s*\(.*\)\s*->\s*.*\{", stripped)
+        if m and not stripped.startswith("%param"):
+            cur = m.group(1)
+            comps[cur] = []
+            continue
+        if stripped == "}":
+            cur = None
+            continue
+        if cur is not None and stripped.startswith("%"):
+            comps[cur].append(stripped)
+        elif cur is not None and stripped.startswith("ROOT %"):
+            comps[cur].append(stripped[len("ROOT "):])
+
+    # computations executed inline at top level vs bodies folded into ops
+    called_not_toplevel = set()
+    toplevel_called = set()
+    for lines in comps.values():
+        for ln in lines:
+            for attr, bucket in (
+                ("calls", called_not_toplevel),
+                ("to_apply", called_not_toplevel),
+                ("body", toplevel_called),
+                ("condition", toplevel_called),
+                ("true_computation", toplevel_called),
+                ("false_computation", toplevel_called),
+            ):
+                for m in re.finditer(rf"{attr}=%([-\w\.]+)", ln):
+                    bucket.add(m.group(1))
+            for m in re.finditer(r"branch_computations=\{([^}]*)\}", ln):
+                for name in re.findall(r"%([-\w\.]+)", m.group(1)):
+                    toplevel_called.add(name)
+
+    # output bytes + opcode of every defined instruction (operand lookups)
+    out_bytes: dict[str, int] = {}
+    opcode_of: dict[str, str] = {}
+    inst_re = re.compile(r"^(?:ROOT\s+)?%([-\w\.]+)\s*=\s*([^=]*?)\s([\w\-]+)\(")
+    for lines in comps.values():
+        for ln in lines:
+            m = inst_re.match(ln)
+            if not m:
+                continue
+            name, shape_seg, opcode = m.groups()
+            out_bytes[name] = _hlo_shape_bytes(shape_seg)
+            opcode_of[name] = opcode
+
+    executed = {
+        c for c in comps
+        if c not in called_not_toplevel or c in toplevel_called
+    }
+    total = 0
+    for comp in executed:
+        for ln in comps[comp]:
+            m = inst_re.match(ln)
+            if not m:
+                continue
+            name, shape_seg, opcode = m.groups()
+            if opcode in _HLO_NO_WRITE_OPS:
+                continue  # no write to bill; reads of these are billed below
+            # strip attribute tails so calls=/metadata= names aren't
+            # mistaken for operands
+            body = ln.split(", metadata=")[0]
+            body = re.sub(r"(calls|to_apply|body|condition|true_computation|"
+                          r"false_computation)=%[-\w\.]+", "", body)
+            body = re.sub(r"branch_computations=\{[^}]*\}", "", body)
+            ops = re.findall(r"%([-\w\.]+)", body)
+            traffic = out_bytes.get(name, 0)  # the write
+            for o in ops[1:]:  # ops[0] is the instruction's own name
+                if opcode_of.get(o) in _HLO_TRANSPARENT_OPS:
+                    continue  # alias read: underlying buffer untracked
+                traffic += out_bytes.get(o, 0)
+            total += traffic
+    return float(total)
+
+
 def _roofline_from_cost(compiled, sec_per_iter: float, n_iters: int = 1) -> dict:
     """MFU (of 197 bf16 TFLOP/s) + HBM bandwidth utilization (of 819 GB/s)
     from the compiled program's cost model. For HBM-bound models (BTS's
@@ -267,12 +403,16 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
                            remat: bool = False):
     """Flagship BTS-DenseNet-161 train step (silma loss + grads + AdamW) at
     512x512 in bf16 compute, steady state. Returns (images/sec, roofline,
-    remat) — falls back to rematerialization if the activation footprint
-    overflows the chip's HBM. Batch 32 is the measured sweet spot on the
-    16G v5e: 91.1 img/s at 83% of the HBM bandwidth roofline (sweep: 68.7
-    @ b8, 86.9 @ b16, 87.3 @ b48; b64 fails to compile; remat @ b16 LOSES,
-    65.2 img/s — recompute adds traffic to an already bandwidth-saturated
-    step). The step is bandwidth-bound, not kernel-limited (BASELINE.md)."""
+    remat) — falls back to rematerialization and then to batch 16 if the
+    activation footprint overflows the chip's HBM.
+
+    ROUND-5 CORRECTION: rounds 2-4 measured this row via _bts_method's
+    default bts_size=64 — a decoder 8x narrower than the SHIPPED flagship
+    (entry() / models/bts.py / CLI default bts_size=512) — so the recorded
+    91-98 img/s @ b32 overstated the real flagship. At bts_size=512 the
+    b32 in-graph step needs 24.4G of the 15.75G HBM and does not compile;
+    the honest flagship train numbers are re-measured by this corrected
+    function (bench_extra.json bts_dn161_512_train_* carry them forward)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -282,7 +422,8 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
     from mono_depth_estimation_tpu.train.steps import make_train_step
 
     h, w = size
-    method = g._bts_method(batch_size=batch, encoder="densenet161_bts")
+    method = g._bts_method(batch_size=batch, encoder="densenet161_bts",
+                           bts_size=512)
     x = np.ones((batch, h, w, 4), np.float32)
     y = np.ones((batch, h, w, 10), np.float32)
     model, variables = method.init_variables(
@@ -318,13 +459,29 @@ def bench_bts_train_steady(batch: int = 32, size=(512, 512),
 
         return run
 
+    retry = None
     try:
         dt, compiled, _ = _slope_time(make_run, (state, base_x, base_y),
                                       n1=3, n2=9, donate=True)
     except Exception as e:
-        if not remat and _is_oom(e):
-            return bench_bts_train_steady(batch, size, remat=True)
-        raise
+        # decide the retry INSIDE the handler but recurse OUTSIDE it: while
+        # the except block is active the exception's traceback pins this
+        # frame's state/base device arrays in HBM, and the retry then OOMs
+        # at execute time even when its own footprint fits (observed
+        # round 5, tools/bench_bf16_train.py had the same bug)
+        if _is_oom(e):
+            if not remat:
+                retry = (batch, True)
+            elif batch > 16:
+                retry = (16, False)
+        if retry is None:
+            raise
+    if retry is not None:
+        del state, base_x, base_y, train_step, model, variables, optimizer
+        import gc
+
+        gc.collect()
+        return bench_bts_train_steady(retry[0], size, remat=retry[1])
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
@@ -368,9 +525,15 @@ def _steady_eval(model, size, batch, train_kw=True):
 def _is_oom(e) -> bool:
     """HBM OOM arrives as RESOURCE_EXHAUSTED locally but as INTERNAL
     'Ran out of memory in memory space hbm' through the remote-compile
-    relay; treat both as the remat-fallback trigger."""
+    relay; treat both as the remat-fallback trigger. The relay can also
+    swallow the OOM detail entirely and surface only 'HTTP 500:
+    tpu_compile_helper subprocess exit code 1' (observed round 5 on the
+    24.4G flagship b32 program) — treat that as possibly-OOM too: the
+    worst case for a transient relay error is one redundant fallback
+    attempt."""
     s = str(e)
-    return "RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+    return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+            or "tpu_compile_helper subprocess exit" in s)
 
 def bench_zoo(deadline: float | None = None) -> dict:
     """Eval fwd throughput for the REST of the model zoo, each at its
@@ -497,14 +660,23 @@ def _steady_train_method(name, size, batch, x_ch=3, y_ch=1, extra_argv=(),
 
         return run
 
+    do_retry = False
     try:
         dt, compiled, _ = _slope_time(make_run, (state, base_x, base_y),
                                       n1=3, n2=9, donate=True)
     except Exception as e:
-        if not remat and _is_oom(e):
-            return _steady_train_method(name, size, batch, x_ch, y_ch,
-                                        extra_argv, remat=True)
-        raise
+        # retry OUTSIDE the handler: the live exception pins this frame's
+        # device arrays (see bench_bts_train_steady's note)
+        do_retry = not remat and _is_oom(e)
+        if not do_retry:
+            raise
+    if do_retry:
+        del state, base_x, base_y, train_step, model, variables, optimizer
+        import gc
+
+        gc.collect()
+        return _steady_train_method(name, size, batch, x_ch, y_ch,
+                                    extra_argv, remat=True)
     return batch / dt, _roofline_from_cost(compiled, dt, n_iters=1), remat
 
 
@@ -538,12 +710,18 @@ def bench_zoo_train(deadline: float | None = None) -> dict:
             ips, roof, remat = _steady_train_method(
                 name, size, batch, x_ch=x_ch, y_ch=y_ch
             )
-            out[f"{name}_{size[0]}x{size[1]}"] = {
+            row = {
                 "images_per_sec": round(ips, 1), "batch": batch,
                 "mfu": round(roof["mfu"], 4),
                 "hbm_bw_util": round(roof["bw_util"], 4),
                 "remat": remat,
             }
+            # bound pair for capped rows (VERDICT r4 task #8): the logical
+            # ratio and the fused-fraction lower bound it implies
+            if "bw_util_logical" in roof:
+                row["hbm_bw_util_logical"] = round(roof["bw_util_logical"], 4)
+                row["min_fused_fraction"] = round(roof["min_fused_fraction"], 4)
+            out[f"{name}_{size[0]}x{size[1]}"] = row
         except Exception as e:  # keep the sweep going; record the failure
             out[f"{name}_{size[0]}x{size[1]}"] = {"error": str(e)[:200]}
     return out

@@ -87,11 +87,21 @@ class VnlMethod(Method):
         )
         gt_depth = batch["B"][..., 0]
         gt_bins = self.depth_to_bins(gt_depth)
+        # the reference's depth_to_bins MUTATES batch['B'] in place
+        # (modules/vnl.py:209-215: clamp to [depth_min, depth_max], then
+        # invalid (<0) pixels set to -1) and its criterion consumes the
+        # MUTATED gt — replicated functionally here (round-5 fix; pinned by
+        # tests/test_gradient_parity.py::test_vnl_full_module_gradient_parity)
+        invalid = gt_depth < 0.0
+        gt_mutated = jnp.where(
+            invalid, -1.0,
+            jnp.clip(gt_depth, self.method.depth_min, self.method.depth_max),
+        )
         loss = model_loss(
             self.bins_to_depth(cls),
             logits,
             gt_bins,
-            gt_depth,
+            gt_mutated,
             cfg=self.vnl_cfg,
             dec_out_c=int(self.method.dec_out_c),
             diff_loss_weight=float(self.method.diff_loss_weight),

@@ -120,6 +120,15 @@ def test_vnl_policy_dict():
     assert out["A"].shape == (385, 385, 3)
     assert out["B"].shape == (385, 385, 1)
     assert "ratio" in out and "invalid_side" in out
+    assert "B_raw" not in out  # train batches stay lean (no restore there)
+
+    # val/test batches carry the raw 512-high restore target
+    # (restore_prediction protocol, methods/vnl.py val_outputs)
+    from mono_depth_estimation_tpu.data.policies import vnl_val_preprocess
+
+    vout = vnl_val_preprocess(rgb, depth, rng=np.random.default_rng(0))
+    assert vout["B_raw"].ndim == 3 and vout["B_raw"].shape[0] == 512
+    assert vout["invalid_side"][0] == 0  # structurally zero at val/test
 
 
 def test_midas_test_dict():

@@ -11,7 +11,10 @@ running the REFERENCE's own code on shared f64 inputs/weights:
   converted network vs the reference network/Bts.py + the
   base_module.py:124-208 criterion, per-leaf relative grad norms <= 1e-4.
 * The VNL ModelLoss (WCEL + virtual-normal with the static-shape sampling
-  rewrite, losses/vnl.py) vs criteria.py:839-1045 autograd.
+  rewrite, losses/vnl.py) vs criteria.py:839-1045 autograd — first at the
+  loss level, then through the FULL converted VNL network via the
+  production VnlMethod.train_loss (including the reference's in-place gt
+  mutation semantics).
 
 f64 throughout (jax.experimental.enable_x64 + torch .double()): at f64 the
 only legitimate source of disagreement is MATH, not accumulation order.
@@ -369,3 +372,181 @@ def test_bts_flagship_gradient_parity():
             worst = (path, rel)
         assert rel <= 1e-4, (path, rel, rn)
     print("worst per-leaf relative grad-norm error:", worst)
+
+
+@pytest.mark.xslow
+def test_vnl_full_module_gradient_parity(monkeypatch):
+    """Second FULL-MODULE training-math certificate: the complete VNL
+    (ResNeXt-50-stride16 body + ASPP + FTB/AFA topdown + bin head) +
+    ModelLoss (WCEL + virtual-normal), backward on shared f64 converted
+    weights and a shared batch with the same injected sampling groups.
+
+    * reference: network/VNL.py forward -> bins_to_depth / depth_to_bins
+      (modules/vnl.py:202-230, INCLUDING the in-place gt mutation its
+      depth_to_bins performs: clamp to [depth_min, depth_max], invalid
+      (<0) -> -1 — the criterion consumes the MUTATED gt,
+      modules/vnl.py:252-260) -> criteria.ModelLoss -> torch autograd
+    * ours: jax.grad of VnlMethod.train_loss (the production path) wrt
+      params, with losses.vnl._sample_indices pinned to the same groups
+
+    The gt batch deliberately contains values above depth_max, zeros, and
+    -1 padding so the mutation semantics are load-bearing — this test
+    pinned the round-5 train_loss fix that replicates them."""
+    _stub_reference_imports()
+    import criteria  # /root/reference/criteria.py
+    from network import VNL as RefVNL
+
+    from flax import traverse_util
+
+    import mono_depth_estimation_tpu.losses.vnl as vnl_losses
+    from mono_depth_estimation_tpu.methods.vnl import VnlMethod
+    from mono_depth_estimation_tpu.utils.torch_convert import (
+        convert_sequential,
+        reorder_vnl_keys,
+    )
+
+    C, hw = 25, (97, 97)
+    h, w = hw
+    fx = fy = 519.0
+    depth_min, depth_max, diff_w = 0.01, 1.1, 6.0
+
+    targs = Namespace(
+        encoder="resnext50_32x4d_body_stride16", init_type="xavier",
+        pretrained=False, freeze_backbone=False,
+        enc_dim_in=[64, 256, 512, 1024, 2048],
+        enc_dim_out=[512, 256, 256, 256],
+        dec_dim_in=[512, 256, 256, 256, 256, 256],
+        dec_dim_out=[256, 256, 256, 256, 256],
+        dec_out_c=C, crop_size=hw,
+    )
+    tm = RefVNL.MetricDepthModel(targs).double().train()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+
+    rng = np.random.default_rng(13)
+    b = 2
+    x = rng.normal(size=(b, h, w, 3))
+    gt = rng.uniform(0.0, 1.3, (b, h, w))  # above depth_max on purpose
+    gt[rng.uniform(size=gt.shape) < 0.1] = 0.0
+    gt[rng.uniform(size=gt.shape) < 0.05] = -1.0  # the fprc pad value
+    n = int(h * w * 0.15)
+    p = rng.integers(0, h * w, (3, n))
+
+    # ---- reference backward (modules/vnl.py:252-260 + criteria ModelLoss)
+    interval = (np.log10(depth_max) - np.log10(depth_min)) / C
+    borders = torch.tensor(
+        [np.log10(depth_min) + interval * (i + 0.5) for i in range(C)],
+        dtype=torch.float64,
+    )
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    gt_t = torch.from_numpy(gt.copy())
+
+    pred_logits, pred_cls = tm(xt)
+    db = pred_cls.permute(0, 2, 3, 1)
+    pred_depth = (10.0 ** torch.sum(db * borders, dim=3, keepdim=True)
+                  ).permute(0, 3, 1, 2)
+    # depth_to_bins WITH its in-place gt mutation (modules/vnl.py:202-216)
+    invalid = gt_t < 0.0
+    gt_t[gt_t < depth_min] = depth_min
+    gt_t[gt_t > depth_max] = depth_max
+    bins = ((torch.log10(gt_t) - np.log10(depth_min)) / interval).to(torch.int64)
+    bins[invalid] = C + 1
+    bins[bins == C] = C - 1
+    gt_t[invalid] = -1.0
+
+    class Args:
+        dec_out_c = C
+        wce_loss_weight = np.array(
+            [[np.exp(-0.2 * (i - j) ** 2) for i in range(C)] for j in range(C)]
+        )
+
+    p123 = {
+        "p1_x": p[0] % w, "p1_y": p[0] // w,
+        "p2_x": p[1] % w, "p2_y": p[1] // w,
+        "p3_x": p[2] % w, "p3_y": p[2] // w,
+    }
+    vl = criteria.VNL_Loss(fx, fy, hw)
+    vl.select_index = lambda: p123
+    loss_ref = criteria.WCEL_Loss(Args())(pred_logits, bins, gt_t) + (
+        diff_w * vl(gt_t.unsqueeze(1), pred_depth, select=True)
+    )
+    loss_ref.backward()
+    params = dict(tm.named_parameters())
+    sd_grads = {}
+    for k, v in tm.state_dict().items():
+        if k in params:
+            g_ = params[k].grad
+            assert g_ is not None, f"no grad for {k}"
+            sd_grads[k] = g_.detach().numpy()
+        else:
+            sd_grads[k] = v.detach().numpy()
+
+    # ---- ours: jax.grad of the production train_loss
+    with jax.enable_x64(True):
+        g = Namespace(metrics=["mae"], worker=0, ds_name="nyu",
+                      depth_method=None)
+        m = Namespace(
+            name="vnl", learning_rate=1e-4, batch_size=b, ckpt=None,
+            torch_weights=None, weight_decay=5e-4, lr_patience=2,
+            encoder="resnext50_32x4d_body_stride16", init_type="xavier",
+            pretrained=0, enc_dim_in=[64, 256, 512, 1024, 2048],
+            enc_dim_out=[512, 256, 256, 256],
+            dec_dim_in=[512, 256, 256, 256, 256, 256],
+            dec_dim_out=[256, 256, 256, 256, 256],
+            dec_out_c=C, crop_size=hw, scale_decoder_lr=0.1,
+            freeze_backbone=False, depth_min=depth_min, depth_max=depth_max,
+            focal_x=fx, focal_y=fy, diff_loss_weight=diff_w,
+            prediction_method="classification", data_augmentation="vnl",
+            loss="vnl", finetune=0, freeze_encoder=False,
+        )
+        method = VnlMethod(g, m)
+        model = method.build_model()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float64),
+            train=False,
+        )
+        sd = reorder_vnl_keys(
+            {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        )
+        variables = jax.tree.map(jnp.asarray, convert_sequential(sd, template))
+        grad_tree = convert_sequential(reorder_vnl_keys(sd_grads), template)
+
+        monkeypatch.setattr(
+            vnl_losses, "_sample_indices", lambda key, cfg: jnp.asarray(p)
+        )
+        batch = {
+            "A": jnp.asarray(x), "B": jnp.asarray(gt)[..., None],
+            "invalid_side": jnp.zeros((b, 4), jnp.int32),
+            "ratio": jnp.ones((b,), jnp.float64),
+        }
+
+        def loss_fn(params_):
+            v = {"params": params_,
+                 "batch_stats": variables.get("batch_stats")}
+            loss, _ = method.train_loss(model, v, batch,
+                                        jax.random.PRNGKey(0))
+            return loss
+
+        loss_ours, grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    loss_ref_v = float(loss_ref.detach())
+    assert np.isclose(float(loss_ours), loss_ref_v, rtol=1e-7), (
+        float(loss_ours), loss_ref_v
+    )
+    flat_ours = traverse_util.flatten_dict(grads)
+    flat_ref = traverse_util.flatten_dict(grad_tree["params"])
+    assert set(flat_ours) == set(flat_ref)
+    for path, g_ref in flat_ref.items():
+        g_ours = np.asarray(flat_ours[path], np.float64)
+        g_ref = np.asarray(g_ref, np.float64)
+        dn = float(np.linalg.norm(g_ours - g_ref))
+        rn = float(np.linalg.norm(g_ref))
+        if rn < 1e-12:
+            assert dn < 1e-10, (path, dn)
+            continue
+        assert dn / rn <= 1e-4, (path, dn / rn, rn)
