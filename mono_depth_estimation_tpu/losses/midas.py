@@ -71,7 +71,13 @@ def normalize_prediction_robust(
 
     m = jnp.where(valid, _torch_median((mask * target).reshape(b, -1)), 0.0)
     shifted = target - m[:, None, None]
-    sq = jnp.sum(mask * jnp.abs(shifted), axis=(1, 2))
+    # |shifted| written as shifted*sign(shifted): identical forward, but the
+    # subgradient at 0 is 0 (sign's grad is 0), matching torch.abs backward.
+    # The median pixel's shifted value is EXACTLY 0 by construction, so
+    # jnp.abs (whose grad at 0 is 1) would put a spurious unit cotangent on
+    # it — the one place this loss family disagrees with torch autograd
+    # (pinned by tests/test_gradient_parity.py::test_trimmed_procrustes_gradient_parity).
+    sq = jnp.sum(mask * (shifted * jnp.sign(shifted)), axis=(1, 2))
     s = jnp.where(valid, jnp.maximum(sq / jnp.maximum(ssum, 1.0), 1e-6), 1.0)
     return shifted / s[:, None, None]
 
@@ -178,8 +184,12 @@ def midas_loss(
     trim: float = 0.2,
 ) -> jax.Array:
     """MidasLoss (criteria.py:306-332): optional ssi alignment + data + grad."""
-    prediction = _squeeze_map(prediction).astype(jnp.float32)
-    target = _squeeze_map(target).astype(jnp.float32)
+    # promote (not hard-cast): bf16 inputs compute in f32 as before, while
+    # f64 inputs stay f64 for the gradient-parity certificates
+    prediction = _squeeze_map(prediction)
+    prediction = prediction.astype(jnp.promote_types(prediction.dtype, jnp.float32))
+    target = _squeeze_map(target)
+    target = target.astype(jnp.promote_types(target.dtype, jnp.float32))
     mask = (target > 0).astype(jnp.float32)
 
     if "ssi" in loss:
@@ -213,8 +223,10 @@ def trimmed_procrustes_loss(
     trim: float = 0.2,
 ) -> jax.Array:
     """TrimmedProcrustesLoss (criteria.py:335-363)."""
-    prediction = _squeeze_map(prediction).astype(jnp.float32)
-    target = _squeeze_map(target).astype(jnp.float32)
+    prediction = _squeeze_map(prediction)
+    prediction = prediction.astype(jnp.promote_types(prediction.dtype, jnp.float32))
+    target = _squeeze_map(target)
+    target = target.astype(jnp.promote_types(target.dtype, jnp.float32))
     mask = (target > 0).astype(jnp.float32)
 
     pred_n = normalize_prediction_robust(prediction, mask)

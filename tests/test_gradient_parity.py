@@ -374,6 +374,134 @@ def test_bts_flagship_gradient_parity():
     print("worst per-leaf relative grad-norm error:", worst)
 
 
+def _midas_pair(seed=7, b=2, h=16, w=20):
+    """f64 depth pair with invalid pixels; values a.s. distinct so the
+    median / sort tie-breaking is unambiguous on both sides."""
+    rng = np.random.default_rng(seed)
+    target = rng.uniform(0.0, 10.0, (b, h, w))
+    target[rng.uniform(size=target.shape) < 0.2] = 0.0
+    pred = np.clip(target + rng.normal(0, 0.5, target.shape), 0.05, 12)
+    return pred, target
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss_name", ["ssimse", "ssil1", "ssitrim", "trim",
+                                       "mse", "l1"])
+def test_midas_loss_gradient_parity(loss_name):
+    """d/d(pred) of MidasLoss — the closed-form scale-shift solve, the
+    masked data terms, the sort-permutation VJP of the (un-)trimmed MAE, and
+    the 4-scale gradient regularizer — vs torch autograd through the
+    reference criteria.MidasLoss (criteria.py:306-332), f64.
+
+    trim=0.0 on our side reproduces the reference's actual (non-trimming)
+    behavior — see losses/midas.py's reference-bug note; the gradients then
+    flow through the same sort+sum graph on both sides."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.midas import midas_loss
+
+    pred, target = _midas_pair()
+
+    pred_t = torch.from_numpy(pred.copy()).unsqueeze(1).requires_grad_(True)
+    targ_t = torch.from_numpy(target.copy()).unsqueeze(1)
+    loss_ref = criteria.MidasLoss(
+        alpha=0.5, loss=loss_name, reduction="batch-based"
+    )(pred_t, targ_t)
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()[:, 0]
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: midas_loss(p, jnp.asarray(target), alpha=0.5,
+                                 loss=loss_name, reduction="batch-based",
+                                 trim=0.0)
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-7, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_trimmed_procrustes_gradient_parity():
+    """d/d(pred) of TrimmedProcrustesLoss (criteria.py:335-363) vs torch
+    autograd, f64 — certifies normalize_prediction_robust's gradient path:
+    the median pick (sort-permutation VJP vs torch.median's index routing)
+    and the MAD term's subgradient at the median pixel, where shifted == 0
+    EXACTLY and losses/midas.py's sign-form |.| matches torch.abs backward
+    (plain jnp.abs would put a spurious unit cotangent there)."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.midas import trimmed_procrustes_loss
+
+    pred, target = _midas_pair(seed=9)
+
+    pred_t = torch.from_numpy(pred.copy()).requires_grad_(True)
+    targ_t = torch.from_numpy(target.copy())
+    # TrimmedProcrustesLoss.forward (criteria.py:345-358) composed verbatim
+    # from the reference's own functions, but with a float64 mask: the class
+    # hard-casts its mask to f32 (criteria.py:347), which crashes
+    # normalize_prediction_robust's f32 median buffer on double inputs
+    # (index_put dtype mismatch at criteria.py:144) — an f64-incompat in the
+    # reference, not a semantic difference.
+    mask = (targ_t > 0).double()
+    pred_n = criteria.normalize_prediction_robust(pred_t, mask)
+    targ_n = criteria.normalize_prediction_robust(targ_t, mask)
+    loss_ref = criteria.TrimmedMAELoss(reduction="batch-based")(
+        pred_n, targ_n, mask
+    ) + 0.5 * criteria.GradientLoss(scales=4, reduction="batch-based")(
+        pred_n, targ_n, mask
+    )
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: trimmed_procrustes_loss(p, jnp.asarray(target),
+                                              alpha=0.5, trim=0.0)
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-7, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_ord_loss_gradient_parity():
+    """d/d(prob) of the DORN ordinal NLL — the production DornMethod
+    train_loss criterion (methods/dorn.py:84-99) — vs torch autograd through
+    the reference criteria.ordLoss (criteria.py:734-787), f64. The clamp
+    boundaries (1e-8, 1e8) are inactive for probs in (0.01, 0.99), so the
+    log-grads must agree to roundoff."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.ordinal import ord_loss
+
+    rng = np.random.default_rng(3)
+    b, h, w, k = 2, 8, 10, 12
+    prob = rng.uniform(0.01, 0.99, (b, h, w, k))
+    target = rng.uniform(0, k, (b, h, w))
+
+    prob_t = torch.from_numpy(
+        np.transpose(prob, (0, 3, 1, 2)).copy()
+    ).requires_grad_(True)
+    loss_ref = criteria.ordLoss()(prob_t, torch.from_numpy(target[:, None]))
+    loss_ref.backward()
+    g_ref = np.transpose(prob_t.grad.numpy(), (0, 2, 3, 1))
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: ord_loss(p, jnp.asarray(target))
+        )(jnp.asarray(prob))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-10, atol=1e-14)
+
+
 @pytest.mark.xslow
 def test_vnl_full_module_gradient_parity(monkeypatch):
     """Second FULL-MODULE training-math certificate: the complete VNL
