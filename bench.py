@@ -745,11 +745,12 @@ def bench_fed_train(batch: int = 16, size: int = 512, n_images: int = 256,
       * fed_ips          — the real overlapped loop
 
     Default batch is 16, the largest production-feasible batch at 512^2:
-    the standalone b32 train step needs 19.6G of the v5e's 15.75G HBM
-    (measured; remat makes it WORSE, 20.9G — recompute adds copies to an
-    already bandwidth-bound step). The in-graph b32 bench row fits only
-    because its batch is generated inside the scan body. The in-graph b16
-    comparison point is 86.9 img/s (BASELINE.md flagship train sweep).
+    the standalone b32 train step needs 24.4G of the v5e's 15.75G HBM at
+    the shipped bts_size=512 decoder (measured round 5; remat does not
+    save it — recompute adds copies to an already bandwidth-bound step).
+    The in-graph b16 comparison point is 48.3 img/s (BASELINE.md flagship
+    train row; the 86.9 quoted in rounds 3-4 was accidentally the
+    bts_size=64 reduced decoder — round-5 correction).
     """
     import jax
     import jax.numpy as jnp

@@ -4,8 +4,10 @@ The torchvtk ``*.pt`` sample files the stdepth families train from cost
 ~94 ms/sample to decode (torch.load unpickling + CHW float tensors +
 layer sort / alpha un-compositing — measured on the 512x512 flagship
 data), and torch.load holds the GIL, so the Loader's thread pool cannot
-hide it: the measured end-to-end fed train rate was 9.5 img/s against an
-86.9 img/s device step (bench_extra.json["fed_train"], round 3). The
+hide it: the measured end-to-end fed train rate was 9.5 img/s against a
+48.3 img/s device step (bench_extra.json["fed_train"], round 3; the step
+rate is the round-5-corrected in-graph flagship b16 figure — the 86.9
+quoted then was the accidental bts_size=64 decoder). The
 reference has the same bottleneck — its torch DataLoader re-decodes every
 epoch (SURVEY §3.1, modules/base_module.py:51-78 prefetch_factor=4).
 

@@ -4,7 +4,9 @@ batched affine resample on the TPU.
 Why: the production host is the input-pipeline floor. The cv2 fast path
 (data/policies_fast.py) costs ~37 CPU-core-ms per 512x512 stdepth sample;
 on the single-core hosts these chips front, that caps fed training at
-~16 img/s against an 86.9 img/s device step (bench_extra.json fed_train).
+~16 img/s against a 48.3 img/s device step (bench_extra.json fed_train;
+48.3 is the round-5-corrected in-graph flagship b16 rate — the 86.9
+quoted in rounds 3-4 was the accidental bts_size=64 decoder).
 The TPU-first fix is to stop augmenting on the host entirely: the Loader
 ships the RAW decoded sample (uint8 rgb + target planes, via the
 data/raw_cache.py mmap cache) and the jitted train step applies the

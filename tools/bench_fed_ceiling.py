@@ -6,8 +6,9 @@ DEVICE-RESIDENT pre-staged batches: no loader, no host aug, no host->HBM
 transfer. Whatever this measures is the hard ceiling ANY input pipeline
 design can reach in this runtime; if the best fed number already sits at
 that ceiling, producer isolation (data/shm_loader.py) cannot help HERE and
-the remaining gap to the in-graph 86.9 img/s is the tunnel's per-dispatch
-cost, not host contention.
+the remaining gap to the in-graph 48.3 img/s (round-5-corrected flagship
+b16 rate; 86.9 in rounds 3-4 was the accidental bts_size=64 decoder) is
+the tunnel's per-dispatch cost, not host contention.
 
 Writes bench_extra.json["fed_consumer_ceiling"].
 """
@@ -105,7 +106,8 @@ def main(batch=16, size=512, steps_per_epoch=16, epochs=2):
         "batch": batch,
         "note": "device-resident batches, donated state, one dispatch/step "
                 "— the hard consumer ceiling for ANY fed pipeline here; "
-                "in-graph scan comparison point is 86.9 img/s",
+                "in-graph scan comparison point is 48.3 img/s "
+                "(round-5-corrected bts_size=512 flagship b16)",
     }
     extra = (
         json.loads(bench.EXTRA_FILE.read_text())
