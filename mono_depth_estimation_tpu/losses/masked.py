@@ -33,8 +33,10 @@ def masked_depth_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
 
     pred/target: (B, H, W, C) (C usually 1). Mask is target > 0.
     """
-    pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    # promote (not hard-cast): bf16 computes in f32 as before, f64 stays
+    # f64 for the gradient-parity certificates
+    pred = pred.astype(jnp.promote_types(pred.dtype, jnp.float32))
+    target = target.astype(jnp.promote_types(target.dtype, jnp.float32))
     if pred.ndim == 3:
         pred = pred[..., None]
     if target.ndim == 3:

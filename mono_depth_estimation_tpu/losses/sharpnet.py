@@ -6,7 +6,16 @@ NormalDepthConsensusLoss :678-722.
 
 The reference hardcodes ``.cuda()`` on its Sobel kernels (criteria.py:573,
 580, ...); here the kernels are constants folded into the jit program — a
-documented fix, not a behavioral change.
+documented fix, not a behavioral change. Despite that hardcoding, the
+reference classes ARE cross-run on this CPU host (forward + f64 gradients)
+via a ``Tensor.cuda -> identity`` shim: tests/test_sharpnet_losses.py.
+
+KNOWN REFERENCE QUIRK (documented, not copied): SpatialGradientsLoss's
+masked smooth branch multiplies its (B,1,H,W) gradient map by
+``mask.repeat(1, 3, 1, 1)`` (criteria.py:602) — broadcasting to (B,3,H,W)
+and TRIPLING the masked smooth sum for the 1-channel depth maps
+SharpNetLoss feeds it. We apply the mask once; the 3x relation is pinned
+by test_spatial_gradients_masked_smooth_triple_quirk.
 
 Layout: all maps NHWC.
 """

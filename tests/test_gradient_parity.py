@@ -502,6 +502,125 @@ def test_ord_loss_gradient_parity():
                                rtol=1e-10, atol=1e-14)
 
 
+@pytest.mark.slow
+def test_masked_depth_loss_gradient_parity():
+    """d/d(pred) of the Eigen scale-invariant L2 + gradient-matching loss —
+    EigenModule's training criterion — vs torch autograd through the
+    reference criteria.MaskedDepthLoss (criteria.py:17-64), f64."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.masked import masked_depth_loss
+
+    pred, target = _midas_pair(seed=21)
+
+    pred_t = torch.from_numpy(pred.copy()).unsqueeze(1).requires_grad_(True)
+    loss_ref = criteria.MaskedDepthLoss()(
+        pred_t, torch.from_numpy(target.copy()).unsqueeze(1)
+    )
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()[:, 0]
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: masked_depth_loss(p, jnp.asarray(target))
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-8, atol=1e-13)
+
+
+@pytest.mark.slow
+def test_berhu_gradient_parity():
+    """d/d(pred) of berHu (criteria.py:111-133) vs torch autograd, f64 —
+    the unmasked max threshold is comparison-only on both sides (the
+    reference's huber_mask is .detach()ed; ours is a nondifferentiable
+    comparison), so grads are sign + 2·diff on the c-exceeding subset."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.masked import berhu_loss
+
+    pred, target = _midas_pair(seed=23)
+
+    pred_t = torch.from_numpy(pred.copy()).unsqueeze(1).requires_grad_(True)
+    loss_ref = criteria.berHuLoss()(
+        pred_t, torch.from_numpy(target.copy()).unsqueeze(1)
+    )
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()[:, 0]
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: berhu_loss(p, jnp.asarray(target))
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-8, atol=1e-13)
+
+
+@pytest.mark.slow
+def test_laina_berhu_gradient_parity():
+    """d/d(pred) of the FCRN/Laina log-space berHu (criteria.py:476-506) vs
+    torch autograd, f64. Unlike plain berHu, here c = 0.2·max(n) appears in
+    the VALUE expression (n²+c²)/(2c+1e-9) un-detached, so the argmax pixel
+    receives an extra gradient contribution through c — both sides must
+    route it identically."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.masked import laina_berhu_loss
+
+    pred, target = _midas_pair(seed=27)
+
+    pred_t = torch.from_numpy(pred.copy()).unsqueeze(1).requires_grad_(True)
+    loss_ref = criteria.LainaBerHuLoss()(
+        pred_t, torch.from_numpy(target.copy()).unsqueeze(1)
+    )
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()[:, 0]
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: laina_berhu_loss(p, jnp.asarray(target))
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-8, atol=1e-13)
+
+
+@pytest.mark.slow
+def test_silog_gradient_parity():
+    """d/d(pred) of SILog (criteria.py:724-732) vs torch autograd, f64 —
+    standalone version of the depth term the flagship BTS certificate
+    differentiates through the full network."""
+    _stub_reference_imports()
+    import criteria
+
+    from mono_depth_estimation_tpu.losses.masked import silog_loss
+
+    pred, target = _midas_pair(seed=29)
+
+    pred_t = torch.from_numpy(pred.copy()).requires_grad_(True)
+    loss_ref = criteria.silog_loss(variance_focus=0.85)(
+        pred_t, torch.from_numpy(target.copy())
+    )
+    loss_ref.backward()
+    g_ref = pred_t.grad.numpy()
+
+    with jax.enable_x64(True):
+        val, g_ours = jax.value_and_grad(
+            lambda p: silog_loss(p, jnp.asarray(target), variance_focus=0.85)
+        )(jnp.asarray(pred))
+
+    assert np.isclose(float(val), float(loss_ref.detach()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref,
+                               rtol=1e-8, atol=1e-13)
+
+
 @pytest.mark.xslow
 def test_vnl_full_module_gradient_parity(monkeypatch):
     """Second FULL-MODULE training-math certificate: the complete VNL
