@@ -622,6 +622,125 @@ def test_silog_gradient_parity():
 
 
 @pytest.mark.xslow
+def test_eigen_full_module_gradient_parity():
+    """Third FULL-MODULE training-math certificate: the complete Eigen
+    3-scale net (vendored vgg19_bn features + the 35840->4096 MLP pair +
+    scale-2/scale-3 refinements) through the production
+    EigenMethod.train_loss — model fwd in train mode (batch-stat BN),
+    bilinear upsample of the prediction to GT size
+    (modules/eigen.py:28-31, align_corners=False — verified bit-level
+    equivalent to jax.image.resize in f64), MaskedDepthLoss — backward on
+    shared f64 converted weights vs the reference network/Eigen.py +
+    criteria.MaskedDepthLoss under torch autograd.
+
+    b=1: the FC head hard-wires the full 240x320 training geometry (no
+    tiny-shape trick like the BTS/VNL certs), so f64 runtime scales with
+    batch — b=2 passed identically when built (round 5) at 2x the cost;
+    the batch-coupled reductions of MaskedDepthLoss are certified at b=2
+    by test_masked_depth_loss_gradient_parity above."""
+    _stub_reference_imports()
+    from vendored_torch_encoders import install_fake_torchvision
+
+    install_fake_torchvision()
+    import criteria
+    import torch.nn.functional as F
+    from network import Eigen as RefEigen
+
+    from flax import traverse_util
+
+    from mono_depth_estimation_tpu.methods.eigen import EigenMethod
+    from mono_depth_estimation_tpu.utils.torch_convert import (
+        convert_sequential,
+    )
+
+    tm = RefEigen.Eigen(pretrained=False).double().train()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.8, 1.2)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+
+    rng = np.random.default_rng(31)
+    b, h, w = 1, 240, 320  # the FC head hard-wires the training geometry
+    x = rng.normal(size=(b, h, w, 3))
+    y = rng.uniform(0.0, 10.0, (b, h, w, 1))
+    y[rng.uniform(size=y.shape) < 0.2] = 0.0  # invalid pixels
+
+    # ---- reference backward (modules/eigen.py:23-32 training_step)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    yt = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)).copy())
+    y_hat_t = tm(xt)
+    y_hat_t = F.interpolate(y_hat_t, (h, w), mode="bilinear")
+    loss_ref = criteria.MaskedDepthLoss()(y_hat_t, yt)
+    loss_ref.backward()
+    params = dict(tm.named_parameters())
+    sd_grads = {}
+    for k, v in tm.state_dict().items():
+        if k in params:
+            g_ = params[k].grad
+            assert g_ is not None, f"no grad for {k}"
+            sd_grads[k] = g_.detach().numpy()
+        else:
+            sd_grads[k] = v.detach().numpy()
+
+    # ---- ours: jax.grad of the production EigenMethod.train_loss
+    with jax.enable_x64(True):
+        g = Namespace(metrics=["mae"], worker=0, ds_name="nyu",
+                      depth_method=None)
+        m = Namespace(
+            name="eigen", learning_rate=1e-4, batch_size=b, ckpt=None,
+            torch_weights=None, backbone="vgg", pretrained=0,
+            lr_patience=2, data_augmentation="laina", loss="eigen",
+            freeze_encoder=False,
+        )
+        method = EigenMethod(g, m)
+        model = method.build_model()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float64),
+            train=False,
+        )
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        # VGG /32 features of 240x320 flatten NCHW as (512, 7, 10); mlp2's
+        # output reshapes NCHW as (64, 14, 19) (Eigen.py:84-87) — same
+        # hints as test_full_model_parity.py::test_full_eigen_parity
+        hints = dict(dense_chw_hints={0: (512, 7, 10)},
+                     dense_out_chw_hints={1: (64, 14, 19)})
+        variables = jax.tree.map(
+            jnp.asarray, convert_sequential(sd, template, **hints)
+        )
+        grad_tree = convert_sequential(sd_grads, template, **hints)
+        batch = (jnp.asarray(x), jnp.asarray(y))
+
+        def loss_fn(params_):
+            v = {"params": params_,
+                 "batch_stats": variables.get("batch_stats")}
+            loss, _ = method.train_loss(model, v, batch,
+                                        jax.random.PRNGKey(0))
+            return loss
+
+        loss_ours, grads = jax.value_and_grad(loss_fn)(variables["params"])
+
+    loss_ref_v = float(loss_ref.detach())
+    assert np.isclose(float(loss_ours), loss_ref_v, rtol=1e-8), (
+        float(loss_ours), loss_ref_v
+    )
+    flat_ours = traverse_util.flatten_dict(grads)
+    flat_ref = traverse_util.flatten_dict(grad_tree["params"])
+    assert set(flat_ours) == set(flat_ref)
+    for path, g_ref in flat_ref.items():
+        g_ours = np.asarray(flat_ours[path], np.float64)
+        g_ref = np.asarray(g_ref, np.float64)
+        dn = float(np.linalg.norm(g_ours - g_ref))
+        rn = float(np.linalg.norm(g_ref))
+        if rn < 1e-12:
+            assert dn < 1e-10, (path, dn)
+            continue
+        assert dn / rn <= 1e-4, (path, dn / rn, rn)
+
+
+@pytest.mark.xslow
 def test_vnl_full_module_gradient_parity(monkeypatch):
     """Second FULL-MODULE training-math certificate: the complete VNL
     (ResNeXt-50-stride16 body + ASPP + FTB/AFA topdown + bin head) +
