@@ -652,6 +652,15 @@ def test_midas_evaluate_metric_parity(tmp_path):
     """Seventh evaluate-level certificate — one of the two protocols VERDICT
     r4 called out: MiDaS pad-to-square + crop-back + ssi scale-shift.
 
+    KNOWN FLAKE (round 5, unresolved): one full `-m xslow` tier run failed
+    this test's metric assertion while it passes standalone (37 s), passes
+    within the adjacent sharpnet->my->midas ordering, and every other
+    family cert in the same tier run passed — i.e. order-/state-dependent
+    across the hour-long tier (suspects: the CLI/distributed tests'
+    process-level jax state, or allocator pressure), not a math change.
+    If it fails in a full-tier run, re-run standalone before treating it
+    as a parity regression.
+
     * reference: vendored torch MidasNet forward on the padded square rgb
       -> scale_shift alignment against batch['depth']
       (modules/midas.py:57-62, criteria.compute_scale_and_shift run from
